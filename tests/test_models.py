@@ -1,0 +1,130 @@
+"""Shape/init/structure tests for the model families."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.config import TVAEConfig, VAEConfig
+from vqgan_tpu.models.ae import VAE, init_vae_params
+from vqgan_tpu.models.tae import TVAE
+
+TINY = dict(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8)
+
+
+def _fwd(cfg, x_shape):
+    model, params = init_vae_params(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), x_shape)
+    dec, z = model.apply(
+        {"params": params}, x, rngs={"sample": jax.random.PRNGKey(2)}
+    )
+    return dec, z, params
+
+
+def test_vae_shapes():
+    cfg = VAEConfig(**TINY)
+    dec, z, _ = _fwd(cfg, (2, 32, 32, 3))
+    assert z.shape == (2, 16, 16, 8)  # ffactor 2 for 2 levels
+    assert dec.shape == (2, 32, 32, 3)
+
+
+def test_vae_hr_decoder_doubles_resolution():
+    cfg = VAEConfig(**TINY, decoder_also_perform_hr=True)
+    dec, z, _ = _fwd(cfg, (2, 32, 32, 3))
+    assert z.shape == (2, 16, 16, 8)
+    assert dec.shape == (2, 64, 64, 3)  # extra upsample level (ae.py:381)
+
+
+def test_vae_wavelet_shapes():
+    cfg = VAEConfig(
+        resolution=32, ch=32, ch_mult=(1, 2, 4), num_res_blocks=1, z_channels=8,
+        use_wavelet=True,
+    )
+    dec, z, params = _fwd(cfg, (2, 32, 32, 3))
+    # wavelet halves resolution up-front but skips the level-0 downsample:
+    # same total ffactor as the non-wavelet 3-level model
+    assert z.shape == (2, 8, 8, 8)
+    # conv_in consumes 4*in_ch and emits 2*ch (ae.py:191-194)
+    k = params["encoder"]["conv_in"]["kernel"]
+    assert k.shape == (3, 3, 12, 64)
+
+
+def test_vae_gaussian_reg_double_z():
+    cfg = VAEConfig(**TINY, reg_type="gaussian")
+    dec, z, _ = _fwd(cfg, (2, 32, 32, 3))
+    assert z.shape == (2, 16, 16, 16)  # 2*z_channels
+    assert dec.shape == (2, 32, 32, 3)
+
+
+def test_vae_vq_reg():
+    cfg = VAEConfig(**TINY, reg_type="vq", vq_codebook_size=64, vq_ema_decay=0.0)
+    model = VAE(cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}, x
+    )
+    dec, z = model.apply(variables, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert dec.shape == (2, 32, 32, 3)
+    zq, aux = model.apply(variables, z, method=VAE.regularize)
+    assert zq.shape == z.shape
+    assert aux["vq_loss"].shape == ()
+    assert float(aux["perplexity"]) > 1.0
+
+
+def test_init_parity_statistics():
+    cfg = VAEConfig(**TINY, use_attn=True)
+    _, params = init_vae_params(cfg, jax.random.PRNGKey(0))
+    enc = params["encoder"]
+    # all conv/GroupNorm biases zero (ae.py:233-237)
+    def check_biases(node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                check_biases(v)
+            elif k == "bias":
+                assert float(jnp.abs(v).max()) == 0.0
+
+    check_biases(enc)
+    check_biases(params["decoder"])
+    # near-zero conv2 (ae.py:120-121)
+    c2 = enc["down_0"]["block_0"]["conv2"]["kernel"]
+    assert float(jnp.abs(c2).max()) < 1e-4
+    # torch-default conv_in kernel: U(±1/sqrt(fan_in)) → std ≈ 1/sqrt(3·27)
+    k = enc["conv_in"]["kernel"]
+    expected_std = 1.0 / np.sqrt(3.0 * 27.0)
+    assert abs(float(k.std()) - expected_std) / expected_std < 0.2
+    # attn proj_out std = 0.2/sqrt(c) (ae.py:72)
+    pk = enc["mid_attn_1"]["proj_out"]["kernel"]
+    c = pk.shape[-1]
+    assert abs(float(pk.std()) - 0.2 / np.sqrt(c)) / (0.2 / np.sqrt(c)) < 0.2
+
+
+def test_tvae_shapes():
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    model = TVAE(cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}, x
+    )
+    dec, z = model.apply(variables, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert z.shape == (1, 2, 8, 8, 16)  # 2*z_channels, T/2, H/2, W/2
+    assert dec.shape == (1, 4, 16, 16, 3)
+
+
+def test_encoder_decoder_separate_apply():
+    cfg = VAEConfig(**TINY)
+    model, params = init_vae_params(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    z = model.apply({"params": params}, x, method=VAE.encode)
+    dec = model.apply({"params": params}, z, method=VAE.decode)
+    full_dec, full_z = model.apply(
+        {"params": params}, x, rngs={"sample": jax.random.PRNGKey(2)}
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(full_z), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dec, np.float32), np.asarray(full_dec, np.float32), rtol=1e-2,
+        atol=1e-2,
+    )

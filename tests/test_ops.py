@@ -1,0 +1,108 @@
+"""Unit tests for the core ops, with golden values computed by torch-side
+reimplementations of the reference's math (wavelet, heatmap, area resize)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.ops.gradnorm import gradnorm
+from vqgan_tpu.ops.heatmap import blurriness_heatmap
+from vqgan_tpu.ops.normalization import group_norm_fp32
+from vqgan_tpu.ops.resize import area_downsample, nearest_upsample_2x
+from vqgan_tpu.ops.wavelet import wavelet_transform_multi_channel
+
+torch = pytest.importorskip("torch")
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 8, 64).astype(np.float32)
+    scale = rng.randn(64).astype(np.float32)
+    bias = rng.randn(64).astype(np.float32)
+    out = group_norm_fp32(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 32)
+    t = torch.nn.functional.group_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        32,
+        torch.from_numpy(scale),
+        torch.from_numpy(bias),
+        1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), t.numpy().transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_group_norm_bf16_fp32_compute():
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 4, 4, 32), jnp.bfloat16)
+    out = group_norm_fp32(x, jnp.ones((32,)), jnp.zeros((32,)), 32)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_area_downsample_matches_torch():
+    x = np.random.RandomState(2).randn(2, 16, 16, 3).astype(np.float32)
+    out = area_downsample(jnp.asarray(x), 4)
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=0.25, mode="area"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), t.numpy().transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_nearest_upsample_matches_torch():
+    x = np.random.RandomState(3).randn(2, 5, 7, 3).astype(np.float32)
+    out = nearest_upsample_2x(jnp.asarray(x))
+    t = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2.0, mode="nearest"
+    )
+    np.testing.assert_allclose(np.asarray(out), t.numpy().transpose(0, 2, 3, 1))
+
+
+def test_wavelet_matches_reference():
+    from tests.reference_compat import import_reference_module
+
+    ref_utils = import_reference_module("utils")
+    ref_utils.prepare_filter("cpu")
+    x = np.random.RandomState(4).randn(2, 3, 16, 16).astype(np.float32)
+    ref = ref_utils.wavelet_transform_multi_channel(torch.from_numpy(x)).numpy()
+    out = wavelet_transform_multi_channel(jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out), ref.transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_blurriness_heatmap_properties():
+    # torchvision isn't installed, so golden parity of GaussianBlur isn't
+    # testable here; test the documented behavior instead
+    # (vae_trainer.py:143-176): range [0,1], threshold zeroing below 0.8,
+    # 3-channel broadcast, flat regions ~1 and edges 0.
+    rng = np.random.RandomState(5)
+    img = np.ones((1, 64, 64, 3), np.float32) * 0.3
+    img[:, 20:40, 20:40] = -0.9  # hard edge
+    out = np.asarray(blurriness_heatmap(jnp.asarray(img)))
+    assert out.shape == (1, 64, 64, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.all((out == 0) | (out >= 0.8))
+    assert np.array_equal(out[..., 0], out[..., 1])
+    # edge region suppressed relative to flat background
+    assert out[0, 30, 20:25].mean() < out[0, 5, 5].mean()
+
+
+def test_gradnorm_backward():
+    x = jnp.asarray(np.random.RandomState(6).randn(4, 8).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(gradnorm(x, 0.5) * 3.0)
+
+    g = jax.grad(loss)(x)
+    # incoming cotangent is all-3s; norm = 3*sqrt(32); normalized to 0.5
+    expected = 0.5 * 3.0 / (3.0 * np.sqrt(32) + 1e-8)
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5)
+    np.testing.assert_allclose(float(jnp.linalg.norm(g)), 0.5, rtol=1e-5)
+
+
+def test_gradnorm_identity_forward():
+    x = jnp.arange(6.0).reshape(2, 3)
+    np.testing.assert_array_equal(np.asarray(gradnorm(x, 0.123)), np.asarray(x))

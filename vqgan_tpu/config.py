@@ -1,0 +1,176 @@
+"""Configuration dataclasses for models and training.
+
+The flag surface mirrors the reference CLI (vae_trainer.py:224-338) so that a
+user of the reference can carry their launch scripts over; see cli.py for the
+click bindings. Extra TPU-specific knobs (mesh shape, dtype policy, data
+source honoring) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+DTYPES = {
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """2D image VAE architecture config (reference ae.py:351-392).
+
+    ``reg_type``:
+      - "identity_gaussian": the reference's degenerate DiagonalGaussian with
+        std=0.0 (ae.py:336-348) — deterministic.
+      - "gaussian": real reparameterized Gaussian; encoder emits
+        2*z_channels (mean, logvar), logvar clamped at -3 (tae.py:253-266).
+      - "vq": vector-quantized latent with straight-through estimator —
+        a declared capability target of the build (BASELINE.json config #4).
+    """
+
+    resolution: int = 256
+    in_channels: int = 3
+    ch: int = 256
+    out_ch: int = 3
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 16
+    use_attn: bool = False
+    decoder_also_perform_hr: bool = False
+    use_wavelet: bool = False
+    reg_type: str = "identity_gaussian"
+    # VQ options (used when reg_type == "vq")
+    vq_codebook_size: int = 16384
+    vq_beta: float = 0.25
+    vq_ema_decay: float = 0.99  # 0 disables EMA codebook updates
+    # dtype policy: the reference runs the encoder in fp32 (outside autocast,
+    # vae_trainer.py:538) and the decoder in bf16 (vae_trainer.py:623);
+    # GroupNorm always reduces in fp32 (ae.py:41-53).
+    enc_dtype: str = "float32"
+    dec_dtype: str = "bfloat16"
+
+    @property
+    def ffactor(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
+    @property
+    def decoder_ch_mult(self) -> Tuple[int, ...]:
+        # HR decode: one extra upsample level (reference ae.py:381).
+        # Wavelet quirk: the reference Encoder mutates the *shared* ch_mult
+        # list (ch_mult[0] *= 2, ae.py:194) before the Decoder is built from
+        # it (ae.py:376-385), so wavelet mode doubles the decoder's level-0
+        # width too — kept for checkpoint parity.
+        mult = self.ch_mult
+        if self.use_wavelet:
+            mult = (mult[0] * 2,) + mult[1:]
+        return mult + ((4,) if self.decoder_also_perform_hr else ())
+
+
+@dataclasses.dataclass(frozen=True)
+class TVAEConfig:
+    """3D video VAE architecture config (reference tae.py:269-297)."""
+
+    resolution: int = 256
+    in_channels: int = 3
+    ch: int = 64
+    out_ch: int = 3
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 16
+    reg_type: str = "gaussian"
+    vq_codebook_size: int = 16384
+    vq_beta: float = 0.25
+    vq_ema_decay: float = 0.99
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training configuration; defaults match the reference CLI defaults
+    (vae_trainer.py:224-338)."""
+
+    # data
+    dataset_url: str = ""
+    test_dataset_url: str = ""
+    batch_size: int = 8  # GLOBAL batch (reference: per-process batch × world)
+    num_epochs: int = 2
+    image_size: int = 512  # loaded resolution (MAX_WIDTH, vae_trainer.py:93)
+    num_workers: int = 4
+    synthetic_data: bool = False  # deterministic on-host generated batches
+
+    # optimization (vae_trainer.py:455-490)
+    learning_rate_vae: float = 1e-5  # divided by vae_ch (muP-style) for all
+    learning_rate_disc: float = 2e-4  # but conv_in, which gets fixed 1e-4
+    weight_decay: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.95
+    warmup_steps: int = 200
+    max_steps: int = 1000
+
+    # objectives
+    do_ganloss: bool = False
+    disc_type: str = "bce"  # "bce" | "hinge" (vae_trainer.py:63-90)
+    use_lecam: bool = False
+    lecam_weight: float = 0.1  # vae_trainer.py:519
+    lecam_beta: float = 0.9  # vae_trainer.py:522
+    # loss weights: the reference hardcodes recon*0.0 + 0.1*z² inside
+    # vae_loss_function (vae_trainer.py:209); we expose them as flags and
+    # keep the reference values as defaults.
+    recon_weight: float = 0.0
+    z_reg_weight: float = 0.1
+    do_pool_recon: bool = True
+    gradnorm_lpips: float = 1.0  # vae_trainer.py:662
+    gradnorm_mse: float = 0.001  # vae_trainer.py:679
+    gradnorm_gan: float = 1.0  # vae_trainer.py:683
+    augment_before_perceptual_loss: bool = False
+    lpips_weights: Optional[str] = None  # path to converted LPIPS weights
+
+    # latent behaviors (vae_trainer.py:561-621)
+    do_clamp: bool = False
+    clamp_th: float = 8.0
+    flip_invariance: bool = False
+    crop_invariance: bool = False
+    downscale_factor: int = 16
+    # jit-friendly redesign of the reference's random-size latent crop
+    # (vae_trainer.py:577-621): a single static crop size (fraction of the
+    # latent side), random offsets traced per step.
+    crop_fraction: float = 0.75
+
+    # run management
+    run_name: str = "run"
+    project_name: str = "vae_sweep_attn_lr_width"
+    evaluate_every_n_steps: int = 250
+    load_path: Optional[str] = None
+    ckpt_dir: str = "./ckpt"
+    seed: int = 42
+    log_every: int = 5  # vae_trainer.py:713
+    use_wandb: bool = True  # falls back to JSONL logger when wandb is absent
+
+    # TPU/mesh
+    mesh_shape: str = "data=-1"  # e.g. "data=4,fsdp=2" ; -1 = fill devices
+    full_bf16: bool = False  # run encoder in bf16 too (perf mode)
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+
+def parse_ch_mult(s: str | Sequence[int]) -> Tuple[int, ...]:
+    """Parse the reference's comma-string ch_mult flag (vae_trainer.py:427)."""
+    if isinstance(s, str):
+        return tuple(int(x) for x in s.split(","))
+    return tuple(int(x) for x in s)
+
+
+def parse_mesh_shape(s: str) -> dict:
+    """Parse "data=4,fsdp=2,tensor=1" into an ordered axis dict."""
+    out = {}
+    for part in s.split(","):
+        if not part:
+            continue
+        k, v = part.split("=")
+        out[k.strip()] = int(v)
+    return out

@@ -1,0 +1,103 @@
+"""VGG16-backed multi-scale patch discriminator (reference utils.py:143-203).
+
+ScalingLayer → trainable VGG16 backbone → 5 binary-classifier conv heads (one
+per feature tap), each head's final conv **zero-weight** initialized
+(utils.py:161-185, weights only — biases keep the torch default init), heads'
+flattened patch logits summed: every head contributes logits over the same
+32×32 patch grid for a 512² input (16×16 at 256²), so the sum is a per-patch
+multi-scale vote (utils.py:187-203).
+
+Head specs (exactly the reference's):
+  1: 64→32 (k4 s4) → ReLU → 32→1 (k4 s4)
+  2: 128→64 (k4 s4) → ReLU → 64→1 (k2 s2)
+  3: 256→128 (k2 s2) → ReLU → 128→1 (k2 s2)
+  4: 512→1 (k2 s2)
+  5: 512→1 (k1 s1)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.losses.vgg import ScalingLayer, VGG16Features
+from vqgan_tpu.models.blocks import torch_conv_kernel_init
+
+Dtype = Any
+
+
+def _torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _head_conv(
+    features: int,
+    kernel: int,
+    stride: int,
+    fan_in: int,
+    zero_kernel: bool,
+    dtype: Dtype,
+    name: str,
+) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding="VALID",
+        kernel_init=nn.initializers.zeros if zero_kernel else torch_conv_kernel_init,
+        bias_init=_torch_conv_bias_init(fan_in),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class PatchDiscriminator(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """(B, H, W, 3) in [-1,1] → (B, P) patch logits."""
+        x = ScalingLayer()(x)
+        f1, f2, f3, f4, f5 = VGG16Features(dtype=self.dtype, name="vgg")(x)
+        b = x.shape[0]
+
+        h1 = _head_conv(32, 4, 4, 64 * 16, False, self.dtype, "bc1_conv0")(f1)
+        h1 = nn.relu(h1)
+        h1 = _head_conv(1, 4, 4, 32 * 16, True, self.dtype, "bc1_conv1")(h1)
+
+        h2 = _head_conv(64, 4, 4, 128 * 16, False, self.dtype, "bc2_conv0")(f2)
+        h2 = nn.relu(h2)
+        h2 = _head_conv(1, 2, 2, 64 * 4, True, self.dtype, "bc2_conv1")(h2)
+
+        h3 = _head_conv(128, 2, 2, 256 * 4, False, self.dtype, "bc3_conv0")(f3)
+        h3 = nn.relu(h3)
+        h3 = _head_conv(1, 2, 2, 128 * 4, True, self.dtype, "bc3_conv1")(h3)
+
+        h4 = _head_conv(1, 2, 2, 512 * 4, True, self.dtype, "bc4_conv0")(f4)
+        h5 = _head_conv(1, 1, 1, 512, True, self.dtype, "bc5_conv0")(f5)
+
+        logits = (
+            h1.reshape(b, -1)
+            + h2.reshape(b, -1)
+            + h3.reshape(b, -1)
+            + h4.reshape(b, -1)
+            + h5.reshape(b, -1)
+        )
+        return logits.astype(jnp.float32)
+
+
+def init_discriminator_params(
+    rng: jax.Array, image_size: int = 256, dtype=jnp.float32
+):
+    model = PatchDiscriminator(dtype=dtype)
+    x = jnp.zeros((1, image_size, image_size, 3))
+    return model, model.init(rng, x)["params"]

@@ -1,0 +1,122 @@
+"""LPIPS learned perceptual metric (reference utils.py:8-57).
+
+ScalingLayer → frozen VGG16 features at 5 taps → per-tap channelwise unit
+normalization → squared difference → learned 1×1 head (bias-free) → spatial
+mean → sum over taps. All parameters frozen.
+
+Weights: the reference downloads ``vgg.pth`` (the original LPIPS lin heads +
+VGG). ``convert_torch_lpips`` maps that checkpoint here when available on
+disk; otherwise the lin heads initialize to uniform 1/C (turning each tap
+into a plain normalized-feature MSE), and the VGG backbone uses the fixed
+random init from losses/vgg.py — a serviceable *training* loss, clearly
+flagged for metric use.
+
+The whole computation is one jit region: both images' VGG passes batch
+together (stacked on the batch axis) so the MXU sees one set of big convs
+instead of two half-size ones.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.losses.vgg import (
+    TAP_CHANNELS,
+    ScalingLayer,
+    VGG16Features,
+    convert_torch_vgg16,
+)
+
+Dtype = Any
+
+
+def _unit_normalize(x: jax.Array, eps: float = 1e-10) -> jax.Array:
+    """Channelwise L2 normalize over the channel (last) axis
+    (reference utils.py:134-136)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """Call with (recon, target), each (B, H, W, 3) in [-1, 1]; returns
+    (B, 1) per-image distances (reference returns (B,1,1,1); we keep B-major)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        b = x.shape[0]
+        scaled = ScalingLayer()(jnp.concatenate([x, y], axis=0))
+        taps = VGG16Features(dtype=self.dtype, name="vgg")(scaled)
+        total = None
+        for k, tap in enumerate(taps):
+            f = _unit_normalize(tap.astype(jnp.float32))
+            fx, fy = f[:b], f[b:]
+            diff = jnp.square(fx - fy)  # (B, h, w, C)
+            lin = self.param(
+                f"lin_{k}",
+                lambda key, shape: jnp.full(shape, 1.0 / shape[0], jnp.float32),
+                (TAP_CHANNELS[k],),
+            )
+            # learned 1×1 conv head (bias-free, utils.py:74-89) == channel dot
+            val = jnp.einsum("bhwc,c->bhw", diff, lin)
+            val = jnp.mean(val, axis=(1, 2))  # spatial average utils.py:139
+            total = val if total is None else total + val
+        return total[:, None]
+
+
+def convert_torch_lpips(state_dict: dict) -> dict:
+    """Convert the reference's ``vgg.pth`` LPIPS checkpoint (lin heads named
+    lin{k}.model.1.weight with shape (1, C, 1, 1), VGG under net.slice*) into
+    LPIPS params."""
+    import numpy as np
+
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params: dict = {"vgg": convert_torch_vgg16(state_dict)}
+    for k in range(5):
+        w = None
+        for key in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
+            if key in state_dict:
+                w = to_np(state_dict[key])
+                break
+        if w is None:
+            raise KeyError(f"missing LPIPS lin{k} weight")
+        params[f"lin_{k}"] = w.reshape(-1)  # (1,C,1,1) → (C,)
+    return params
+
+
+def load_lpips_params(
+    path: Optional[str], rng: jax.Array, image_size: int = 256
+) -> dict:
+    """Initialize LPIPS params; import converted torch weights when ``path``
+    is given (either an .npz of converted params or a torch .pth)."""
+    model = LPIPS()
+    x = jnp.zeros((1, image_size, image_size, 3))
+    params = model.init(rng, x, x)["params"]
+    if path:
+        import numpy as np
+
+        if path.endswith(".npz"):
+            loaded = dict(np.load(path, allow_pickle=True))
+            converted = loaded["params"].item() if "params" in loaded else loaded
+        else:
+            import torch
+
+            converted = convert_torch_lpips(
+                torch.load(path, map_location="cpu", weights_only=True)
+            )
+        params = _merge(params, converted)
+    return params
+
+
+def _merge(base, update):
+    if isinstance(base, dict):
+        return {k: _merge(base[k], update[k]) if k in update else base[k]
+                for k in base}
+    return jnp.asarray(update, dtype=jnp.asarray(base).dtype)

@@ -1,0 +1,188 @@
+"""2D model blocks (NHWC, flax.linen) — the FLUX-style VAE building blocks.
+
+Rebuilt TPU-first from the behavior of reference ae.py:13-167:
+  - NHWC activations / HWIO kernels (the TPU-native conv layout; torch's NCHW
+    would force transposes around every XLA conv),
+  - fp32 GroupNorm reductions under bf16 compute (ae.py:41-53),
+  - init parity with the reference: torch-default kaiming-uniform conv
+    kernels, all conv/GroupNorm biases zero (ae.py:233-237, 312-316),
+    near-zero ResnetBlock.conv2 (std=1e-4/out_ch, ae.py:120-121), attention
+    proj_out std=0.2/sqrt(c) (ae.py:72).
+
+Attention runs over the flattened bottleneck tokens (≤ ~1k tokens at training
+resolutions) via jax.nn.dot_product_attention, which XLA fuses; sequence
+lengths here are too small for a custom flash kernel to pay off.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.ops.normalization import group_norm_fp32
+from vqgan_tpu.ops.resize import nearest_upsample_2x
+
+Dtype = Any
+
+# torch Conv2d default init: kaiming_uniform(a=√5) == U(±1/√fan_in), i.e.
+# variance (1/3)/fan_in — expressed as a JAX variance_scaling initializer so
+# fresh JAX training matches the reference's init statistics.
+torch_conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)  # x * sigmoid(x), reference ae.py:13-14
+
+
+class FP32GroupNorm(nn.Module):
+    """GroupNorm(32, eps=1e-6) computed in fp32 (reference ae.py:41-53)."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_fp32(x, scale, bias, self.num_groups, self.eps)
+
+
+def conv3x3(features: int, dtype: Dtype, name: str | None = None, **kw) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (3, 3),
+        padding="SAME",
+        kernel_init=torch_conv_kernel_init,
+        bias_init=nn.initializers.zeros,  # encoder/decoder zero all conv biases
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+        **kw,
+    )
+
+
+def conv1x1(features: int, dtype: Dtype, name: str | None = None, **kw) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (1, 1),
+        kernel_init=torch_conv_kernel_init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+        **kw,
+    )
+
+
+class ResnetBlock(nn.Module):
+    """norm→swish→conv ×2 with ~identity start (reference ae.py:96-140)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_channels = x.shape[-1]
+        h = FP32GroupNorm(name="norm1")(x)
+        h = swish(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        h = FP32GroupNorm(name="norm2")(h)
+        h = swish(h)
+        # conv2 init near-zero so residual branches start ≈ identity
+        # (reference ae.py:120-121: normal std=1e-4/out_ch, zero bias)
+        h = nn.Conv(
+            self.out_channels,
+            (3, 3),
+            padding="SAME",
+            kernel_init=nn.initializers.normal(stddev=1e-4 / self.out_channels),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv2",
+        )(h)
+        if in_channels != self.out_channels:
+            x = conv1x1(self.out_channels, self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-layer self-attention over flattened spatial tokens
+    (reference ae.py:56-93): head_dim=64, qkv/proj as bias-free 1×1 convs,
+    proj_out init std=0.2/sqrt(c), residual add."""
+
+    dtype: Dtype = jnp.float32
+    head_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        num_heads = c // self.head_dim
+        hn = FP32GroupNorm(name="norm")(x)
+        qkv = nn.Conv(
+            3 * c,
+            (1, 1),
+            use_bias=False,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="qkv",
+        )(hn)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, h * w, num_heads, self.head_dim)
+
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(b, h, w, c)
+        out = nn.Conv(
+            c,
+            (1, 1),
+            use_bias=False,
+            kernel_init=nn.initializers.normal(stddev=0.2 / math.sqrt(c)),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj_out",
+        )(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Stride-2 3×3 conv with asymmetric (0,1) pad on H and W — the FLUX
+    convention (reference ae.py:143-154); must match for checkpoint parity."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            c,
+            (3, 3),
+            strides=(2, 2),
+            padding="VALID",
+            kernel_init=torch_conv_kernel_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2× then 3×3 conv (reference ae.py:157-167)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        x = nearest_upsample_2x(x)
+        return conv3x3(c, self.dtype, name="conv")(x)

@@ -1,0 +1,113 @@
+"""Vector-quantized latent layer (codebook + straight-through estimator).
+
+The reference snapshot contains no VQ despite its repo name (SURVEY.md §0);
+the driver's BASELINE.json declares a VQ variant as a capability target
+(config #4: "vector-quantization codebook with straight-through estimator").
+This is a TPU-first implementation:
+
+  - nearest-code search as one big matmul on the MXU: ‖z‖² − 2·z·Eᵀ + ‖E‖²
+    with argmin over the codebook axis (no gather-heavy pairwise distances),
+  - straight-through estimator z + sg(z_q − z),
+  - commitment loss β·‖z − sg(e)‖² + codebook loss ‖sg(z) − e‖²,
+  - optional EMA codebook updates (sums computed with one-hot matmuls —
+    scatter-free, MXU-friendly; cluster counts psum automatically under
+    global-batch pjit semantics),
+  - perplexity / codebook-usage telemetry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class VectorQuantizer(nn.Module):
+    codebook_size: int = 16384
+    embedding_dim: int = 16
+    beta: float = 0.25
+    ema_decay: float = 0.99  # 0 disables EMA updates (loss-only codebook)
+    ema_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> Tuple[jax.Array, Dict[str, Any]]:
+        """z: (..., D) → (z_q with STE, aux dict).
+
+        When EMA is enabled, updated codebook statistics are exposed in the
+        "vq_ema" mutable collection; the train step applies them functionally.
+        """
+        d = z.shape[-1]
+        assert d == self.embedding_dim, (d, self.embedding_dim)
+        codebook = self.param(
+            "codebook",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.codebook_size, d),
+            jnp.float32,
+        )
+        zf = z.astype(jnp.float32)
+        flat = zf.reshape(-1, d)  # (N, D)
+        # distances via matmul (MXU): ||z||^2 - 2 z.E^T + ||E||^2
+        z_sq = jnp.sum(flat * flat, axis=-1, keepdims=True)  # (N,1)
+        e_sq = jnp.sum(codebook * codebook, axis=-1)  # (K,)
+        dots = jnp.dot(flat, codebook.T, preferred_element_type=jnp.float32)
+        dists = z_sq - 2.0 * dots + e_sq[None, :]
+        codes = jnp.argmin(dists, axis=-1)  # (N,)
+        z_q_flat = jnp.take(codebook, codes, axis=0)  # (N, D)
+        z_q = z_q_flat.reshape(zf.shape)
+
+        commitment = jnp.mean(jnp.square(zf - jax.lax.stop_gradient(z_q)))
+        codebook_loss = jnp.mean(jnp.square(jax.lax.stop_gradient(zf) - z_q))
+        vq_loss = codebook_loss + self.beta * commitment
+
+        one_hot = jax.nn.one_hot(codes, self.codebook_size, dtype=jnp.float32)
+        counts = jnp.sum(one_hot, axis=0)  # (K,)
+        probs = counts / jnp.maximum(jnp.sum(counts), 1.0)
+        perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
+
+        if self.ema_decay > 0:
+            # EMA statistics (scatter-free): code counts and code-wise sums
+            ema_counts = self.variable(
+                "vq_ema", "counts", lambda: jnp.ones((self.codebook_size,), jnp.float32)
+            )
+            ema_sums = self.variable(
+                "vq_ema", "sums", lambda: jnp.array(codebook, jnp.float32)
+            )
+            if not self.is_initializing():
+                new_counts = self.ema_decay * ema_counts.value + (
+                    1 - self.ema_decay
+                ) * counts
+                sums = jnp.dot(
+                    one_hot.T, flat, preferred_element_type=jnp.float32
+                )  # (K, D)
+                new_sums = self.ema_decay * ema_sums.value + (1 - self.ema_decay) * sums
+                ema_counts.value = new_counts
+                ema_sums.value = new_sums
+
+        # straight-through estimator
+        z_q_ste = zf + jax.lax.stop_gradient(z_q - zf)
+        aux = {
+            "vq_loss": vq_loss,
+            "commitment_loss": commitment,
+            "codebook_loss": codebook_loss,
+            "perplexity": perplexity,
+            "codes": codes.reshape(zf.shape[:-1]),
+            "usage": jnp.mean((counts > 0).astype(jnp.float32)),
+        }
+        return z_q_ste.astype(z.dtype), aux
+
+
+def apply_ema_codebook_update(
+    params: dict, ema_state: dict, eps: float = 1e-5
+) -> dict:
+    """Functionally fold EMA statistics into the codebook parameter:
+    codebook_k = sums_k / (counts_k + eps), with Laplace-smoothed counts."""
+    counts = ema_state["counts"]
+    sums = ema_state["sums"]
+    n = jnp.sum(counts)
+    smoothed = (counts + eps) / (n + counts.shape[0] * eps) * n
+    new_codebook = sums / smoothed[:, None]
+    out = dict(params)
+    out["codebook"] = new_codebook
+    return out

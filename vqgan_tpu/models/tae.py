@@ -1,0 +1,310 @@
+"""3D video VAE ("TVAE") — NDHWC Conv3D rebuild of reference tae.py.
+
+Differences from the 2D family, matching the reference:
+  - Conv3d everywhere, downsample stride-2 over (T, H, W) with asymmetric
+    (0,1) padding on all three dims (tae.py:101-102), nearest 2× upsample in
+    all three dims (tae.py:115),
+  - attention has a fixed 8 heads with head_dim = C/8 (tae.py:17-18),
+  - encoder emits 2·z_channels for a *real* reparameterized DiagonalGaussian
+    (tae.py:165-167, 253-266),
+  - standard torch init (no near-zero conv2, biases not zeroed) —
+    tae.py:57-90 uses defaults.
+
+TPU notes: NDHWC is the layout XLA's TPU conv emitter expects; 3D convs
+lower to contractions over (kt·kh·kw·Cin) on the MXU. For long videos the
+natural scale-out is sharding T over a mesh axis; halo exchange is inserted
+by XLA's SPMD partitioner when the activation sharding is annotated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.config import DTYPES, TVAEConfig
+from vqgan_tpu.models.ae import DiagonalGaussian
+from vqgan_tpu.models.blocks import torch_conv_kernel_init
+from vqgan_tpu.models.quant import VectorQuantizer
+from vqgan_tpu.ops.normalization import group_norm_fp32
+from vqgan_tpu.ops.resize import nearest_upsample_2x_3d
+
+Dtype = Any
+
+# torch Conv3d default bias init: U(±1/sqrt(fan_in)); tae.py does not zero
+# biases, unlike ae.py.
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def conv3d(
+    features: int,
+    kernel: int,
+    dtype: Dtype,
+    fan_in: int,
+    strides: int = 1,
+    padding="SAME",
+    use_bias: bool = True,
+    kernel_init=None,
+    name: str | None = None,
+) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (kernel,) * 3,
+        strides=(strides,) * 3,
+        padding=padding,
+        use_bias=use_bias,
+        kernel_init=kernel_init or torch_conv_kernel_init,
+        bias_init=_torch_bias_init(fan_in),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class GroupNorm3D(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_fp32(x, scale, bias, self.num_groups, self.eps)
+
+
+class ResnetBlock3D(nn.Module):
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        h = GroupNorm3D(name="norm1")(x)
+        h = jax.nn.silu(h)
+        h = conv3d(self.out_channels, 3, self.dtype, c_in * 27, name="conv1")(h)
+        h = GroupNorm3D(name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = conv3d(
+            self.out_channels, 3, self.dtype, self.out_channels * 27, name="conv2"
+        )(h)
+        if c_in != self.out_channels:
+            x = conv3d(self.out_channels, 1, self.dtype, c_in, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock3D(nn.Module):
+    """Self-attention over flattened (t·h·w) tokens, fixed 8 heads
+    (reference tae.py:13-54)."""
+
+    dtype: Dtype = jnp.float32
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        hn = GroupNorm3D(name="norm")(x)
+        qkv = nn.Conv(
+            3 * c,
+            (1, 1, 1),
+            use_bias=False,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="qkv",
+        )(hn)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(b, t * h * w, self.num_heads, head_dim)
+
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(b, t, h, w, c)
+        out = nn.Conv(
+            c,
+            (1, 1, 1),
+            use_bias=False,
+            kernel_init=nn.initializers.normal(stddev=0.2 / (c ** 0.5)),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj_out",
+        )(out)
+        return x + out
+
+
+class Downsample3D(nn.Module):
+    """Stride-2 conv with (0,1) pad over T, H, W (reference tae.py:93-104)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+        return conv3d(
+            c, 3, self.dtype, c * 27, strides=2, padding="VALID", name="conv"
+        )(x)
+
+
+class Upsample3D(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        x = nearest_upsample_2x_3d(x)
+        return conv3d(c, 3, self.dtype, c * 27, name="conv")(x)
+
+
+class DownLevel3D(nn.Module):
+    block_out: int
+    num_res_blocks: int
+    has_downsample: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, h):
+        for i in range(self.num_res_blocks):
+            h = ResnetBlock3D(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+        if self.has_downsample:
+            h = Downsample3D(dtype=self.dtype, name="downsample")(h)
+        return h
+
+
+class UpLevel3D(nn.Module):
+    block_out: int
+    num_res_blocks: int
+    has_upsample: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, h):
+        for i in range(self.num_res_blocks + 1):
+            h = ResnetBlock3D(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+        if self.has_upsample:
+            h = Upsample3D(dtype=self.dtype, name="upsample")(h)
+        return h
+
+
+class Encoder3D(nn.Module):
+    """Reference tae.py:120-184; conv_out emits 2·z_channels when double_z."""
+
+    ch: int
+    ch_mult: Tuple[int, ...]
+    num_res_blocks: int
+    z_channels: int
+    double_z: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = len(self.ch_mult)
+        h = conv3d(self.ch, 3, self.dtype, x.shape[-1] * 27, name="conv_in")(x)
+        for i in range(n):
+            h = DownLevel3D(
+                block_out=self.ch * self.ch_mult[i],
+                num_res_blocks=self.num_res_blocks,
+                has_downsample=i != n - 1,
+                dtype=self.dtype,
+                name=f"down_{i}",
+            )(h)
+        block_in = self.ch * self.ch_mult[-1]
+        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = AttnBlock3D(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = GroupNorm3D(name="norm_out")(h)
+        h = jax.nn.silu(h)
+        out_ch = self.z_channels * (2 if self.double_z else 1)
+        h = conv3d(out_ch, 3, self.dtype, block_in * 27, name="conv_out")(h)
+        return h
+
+
+class Decoder3D(nn.Module):
+    """Reference tae.py:187-250."""
+
+    ch: int
+    out_ch: int
+    ch_mult: Tuple[int, ...]
+    num_res_blocks: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        n = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[-1]
+        h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
+        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = AttnBlock3D(dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        for i in reversed(range(n)):
+            h = UpLevel3D(
+                block_out=self.ch * self.ch_mult[i],
+                num_res_blocks=self.num_res_blocks,
+                has_upsample=i != 0,
+                dtype=self.dtype,
+                name=f"up_{i}",
+            )(h)
+        h = GroupNorm3D(name="norm_out")(h)
+        h = jax.nn.silu(h)
+        h = conv3d(self.out_ch, 3, self.dtype, h.shape[-1] * 27, name="conv_out")(h)
+        return h
+
+
+class TVAE(nn.Module):
+    """Encoder + real DiagonalGaussian (or VQ) + decoder
+    (reference tae.py:269-297). ``__call__`` returns (decoded, z)."""
+
+    cfg: TVAEConfig
+
+    def setup(self):
+        dtype = DTYPES[self.cfg.compute_dtype]
+        double_z = self.cfg.reg_type == "gaussian"
+        self.encoder = Encoder3D(
+            ch=self.cfg.ch,
+            ch_mult=tuple(self.cfg.ch_mult),
+            num_res_blocks=self.cfg.num_res_blocks,
+            z_channels=self.cfg.z_channels,
+            double_z=double_z,
+            dtype=dtype,
+        )
+        self.decoder = Decoder3D(
+            ch=self.cfg.ch,
+            out_ch=self.cfg.out_ch,
+            ch_mult=tuple(self.cfg.ch_mult),
+            num_res_blocks=self.cfg.num_res_blocks,
+            dtype=dtype,
+        )
+        if self.cfg.reg_type == "gaussian":
+            self.reg = DiagonalGaussian()
+        elif self.cfg.reg_type == "vq":
+            self.reg = VectorQuantizer(
+                codebook_size=self.cfg.vq_codebook_size,
+                embedding_dim=self.cfg.z_channels,
+                beta=self.cfg.vq_beta,
+                ema_decay=self.cfg.vq_ema_decay,
+            )
+        else:
+            raise ValueError(self.cfg.reg_type)
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, x: jax.Array):
+        z = self.encoder(x)
+        z_s = self.reg(z)
+        if isinstance(z_s, tuple):
+            z_s = z_s[0]
+        dec = self.decoder(z_s)
+        return dec, z

@@ -1,0 +1,124 @@
+"""Distributed runtime (L1): mesh construction and sharding rules.
+
+The reference's L1 is torchrun + DDP/NCCL with explicit all_reduce
+(vae_trainer.py:391-397, 56-60). The TPU-native equivalent is declarative:
+
+  - one ``jax.sharding.Mesh`` over all chips with named axes
+    ("data", "fsdp", "tensor"),
+  - the global batch sharded over ("data", "fsdp"),
+  - parameters replicated over "data", sharded over "fsdp" (ZeRO-style — the
+    optimizer state shards with them) and over "tensor" along channel dims
+    where divisible,
+  - gradients/metrics reduced by XLA-inserted collectives over ICI; there is
+    no hand-written NCCL anywhere.
+
+The reference's quirk of *not* synchronizing generator gradients (generator
+forward bypasses its DDP wrapper, vae_trainer.py:538,624 — params drift per
+rank) is deliberately not reproduced: under global-batch pjit the generator
+update is correct data parallelism by construction (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def init_distributed() -> None:
+    """Multi-host init (torchrun equivalent). No-op on a single process."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        import os
+
+        if "COORDINATOR_ADDRESS" in os.environ:
+            jax.distributed.initialize()
+    except Exception:
+        pass
+
+
+def create_mesh(
+    shape: Optional[Dict[str, int]] = None, devices=None
+) -> Mesh:
+    """Build a Mesh from an axis dict like {"data": -1} or
+    {"data": 2, "fsdp": 2, "tensor": 2}; a single -1 axis absorbs the
+    remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    shape = dict(shape or {"data": -1})
+    fixed = math.prod(v for v in shape.values() if v > 0)
+    wildcards = [k for k, v in shape.items() if v < 0]
+    if wildcards:
+        if n % fixed:
+            raise ValueError(f"{n} devices not divisible by {fixed}")
+        shape[wildcards[0]] = n // fixed
+        for k in wildcards[1:]:
+            shape[k] = 1
+    if math.prod(shape.values()) != n:
+        raise ValueError(f"mesh {shape} != {n} devices")
+    axis_names = tuple(shape.keys())
+    dev_array = np.asarray(devices).reshape(tuple(shape.values()))
+    return Mesh(dev_array, axis_names)
+
+
+def _data_axes(mesh: Mesh) -> tuple:
+    return tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over data-like axes; rest replicated."""
+    axes = _data_axes(mesh)
+    spec = [None] * ndim
+    if axes:
+        spec[0] = axes if len(axes) > 1 else axes[0]
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path_leaf_shape, mesh: Mesh) -> P:
+    """Sharding rule for one parameter.
+
+    Conv kernels (..., I, O): shard O over "tensor" when divisible; shard I
+    over "fsdp" when divisible (ZeRO-style weight sharding — XLA all-gathers
+    before use, reduce-scatters gradients). 1D params replicate.
+    """
+    shape = path_leaf_shape
+    has_tensor = "tensor" in mesh.axis_names and mesh.shape.get("tensor", 1) > 1
+    has_fsdp = "fsdp" in mesh.axis_names and mesh.shape.get("fsdp", 1) > 1
+    if len(shape) < 2:
+        return P()
+    spec = [None] * len(shape)
+    if has_tensor and shape[-1] % mesh.shape["tensor"] == 0 and shape[-1] >= 2 * mesh.shape["tensor"]:
+        spec[-1] = "tensor"
+    if has_fsdp and shape[-2] % mesh.shape["fsdp"] == 0 and shape[-2] >= 2 * mesh.shape["fsdp"]:
+        spec[-2] = "fsdp"
+    return P(*spec)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings for a param tree."""
+    return jax.tree_util.tree_map(
+        lambda p: NamedSharding(mesh, _param_spec(p.shape, mesh)), params
+    )
+
+
+def state_shardings(state, mesh: Mesh):
+    """Shardings for a full TrainState: params and optimizer moments follow
+    the param rule (same shapes); scalars/rng replicate."""
+
+    def per_leaf(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 2:
+            return NamedSharding(mesh, _param_spec(shape, mesh))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(per_leaf, state)
