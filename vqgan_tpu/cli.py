@@ -1,0 +1,139 @@
+"""CLI — the reference's full flag surface (vae_trainer.py:224-338), same
+names and defaults, plus TPU-specific additions (mesh shape, dtype policy,
+synthetic data, reg type, wandb toggle).
+
+Launch:  python -m vqgan_tpu.cli [flags]
+(vs the reference's `torchrun --nproc_per_node=8 vae_trainer.py` — process
+management is JAX's: one process per host, all chips of the host driven by
+one process.)
+
+Deviations from the reference, by design (SURVEY.md §7 "quirks"):
+  - --dataset_url / --test_dataset_url are honored (the reference overwrites
+    them with hardcoded paths, vae_trainer.py:380-387),
+  - batch_size is the GLOBAL batch, split across hosts,
+  - generator gradients are correctly averaged across chips (the reference's
+    generator forward bypasses DDP and never syncs generator grads).
+"""
+
+from __future__ import annotations
+
+import os
+
+# Platform override for CPU smoke runs (the axon sitecustomize in some
+# images force-registers the TPU backend regardless of JAX_PLATFORMS):
+#   VQGAN_TPU_PLATFORM=cpu VQGAN_TPU_HOST_DEVICES=8 python -m vqgan_tpu.cli ...
+if os.environ.get("VQGAN_TPU_HOST_DEVICES"):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={os.environ['VQGAN_TPU_HOST_DEVICES']}"
+    )
+if os.environ.get("VQGAN_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["VQGAN_TPU_PLATFORM"])
+
+import click
+
+from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
+
+
+@click.command()
+@click.option("--dataset_url", type=str, default="", help="URL for the training dataset")
+@click.option("--test_dataset_url", type=str, default="", help="URL for the test dataset")
+@click.option("--num_epochs", type=int, default=2, help="Number of training epochs")
+@click.option("--batch_size", type=int, default=8, help="GLOBAL batch size for training")
+@click.option("--do_ganloss", is_flag=True, help="Whether to use GAN loss")
+@click.option("--learning_rate_vae", type=float, default=1e-5, help="Learning rate for VAE")
+@click.option("--learning_rate_disc", type=float, default=2e-4, help="Learning rate for discriminator")
+@click.option("--vae_resolution", type=int, default=256, help="Resolution for VAE")
+@click.option("--vae_in_channels", type=int, default=3, help="Input channels for VAE")
+@click.option("--vae_ch", type=int, default=256, help="Base channel size for VAE")
+@click.option("--vae_ch_mult", type=str, default="1,2,4,4", help="Channel multipliers for VAE")
+@click.option("--vae_num_res_blocks", type=int, default=2, help="Number of residual blocks for VAE")
+@click.option("--vae_z_channels", type=int, default=16, help="Number of latent channels for VAE")
+@click.option("--run_name", type=str, default="run", help="Name of the run")
+@click.option("--max_steps", type=int, default=1000, help="Maximum number of steps to train for")
+@click.option("--evaluate_every_n_steps", type=int, default=250, help="Evaluate every n steps")
+@click.option("--load_path", type=str, default=None, help="Path to load the model from (torch .pt or orbax dir)")
+@click.option("--do_clamp", is_flag=True, help="Whether to clamp the latent codes")
+@click.option("--clamp_th", type=float, default=8.0, help="Clamp threshold for the latent codes")
+@click.option("--max_spatial_dim", type=int, default=256, help="Maximum spatial dimension for overall training")
+@click.option("--do_attn", type=bool, default=False, help="Whether to use attention in the VAE")
+@click.option("--decoder_also_perform_hr", type=bool, default=False, help="Whether to perform HR decoding in the decoder")
+@click.option("--project_name", type=str, default="vae_sweep_attn_lr_width", help="Project name for logging")
+@click.option("--crop_invariance", type=bool, default=False, help="Whether to perform crop invariance")
+@click.option("--flip_invariance", type=bool, default=False, help="Whether to perform flip invariance")
+@click.option("--do_compile", type=bool, default=True, help="Kept for flag parity; everything is jit-compiled on TPU")
+@click.option("--use_wavelet", type=bool, default=False, help="Whether to use wavelet transform in the encoder")
+@click.option("--augment_before_perceptual_loss", type=bool, default=False, help="Whether to augment the images before the perceptual loss")
+@click.option("--downscale_factor", type=int, default=16, help="Downscale factor for the latent space")
+@click.option("--use_lecam", type=bool, default=False, help="Whether to use LeCam regularization")
+@click.option("--disc_type", type=str, default="bce", help="Discriminator type: bce | hinge")
+# --- TPU-native additions ---
+@click.option("--reg_type", type=str, default="identity_gaussian", help="Latent regularizer: identity_gaussian | gaussian | vq")
+@click.option("--vq_codebook_size", type=int, default=16384, help="VQ codebook size (reg_type=vq)")
+@click.option("--mesh_shape", type=str, default="data=-1", help="Device mesh, e.g. data=4,fsdp=2,tensor=1")
+@click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
+@click.option("--synthetic_data", type=bool, default=False, help="Use the deterministic synthetic data source")
+@click.option("--image_size", type=int, default=512, help="Loaded image resolution (reference MAX_WIDTH)")
+@click.option("--num_workers", type=int, default=4, help="Decode workers per host")
+@click.option("--use_wandb", type=bool, default=True, help="Log to wandb when available (JSONL fallback otherwise)")
+@click.option("--lpips_weights", type=str, default=None, help="Path to converted LPIPS weights (.pth or .npz)")
+@click.option("--ckpt_dir", type=str, default="./ckpt", help="Checkpoint root directory")
+@click.option("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of steps 10-15 here")
+@click.option("--seed", type=int, default=42, help="Seed (reference seeds everything to 42)")
+def train(**kw):
+    """Train the 2D image VAE (optionally GAN) — TPU-native train_ddp."""
+    vae_cfg = VAEConfig(
+        resolution=kw["vae_resolution"],
+        in_channels=kw["vae_in_channels"],
+        ch=kw["vae_ch"],
+        out_ch=kw["vae_in_channels"],
+        ch_mult=parse_ch_mult(kw["vae_ch_mult"]),
+        num_res_blocks=kw["vae_num_res_blocks"],
+        z_channels=kw["vae_z_channels"],
+        use_attn=kw["do_attn"],
+        decoder_also_perform_hr=kw["decoder_also_perform_hr"],
+        use_wavelet=kw["use_wavelet"],
+        reg_type=kw["reg_type"],
+        vq_codebook_size=kw["vq_codebook_size"],
+    )
+    cfg = TrainConfig(
+        dataset_url=kw["dataset_url"],
+        test_dataset_url=kw["test_dataset_url"],
+        batch_size=kw["batch_size"],
+        num_epochs=kw["num_epochs"],
+        image_size=kw["image_size"],
+        num_workers=kw["num_workers"],
+        synthetic_data=kw["synthetic_data"],
+        learning_rate_vae=kw["learning_rate_vae"],
+        learning_rate_disc=kw["learning_rate_disc"],
+        max_steps=kw["max_steps"],
+        do_ganloss=kw["do_ganloss"],
+        disc_type=kw["disc_type"],
+        use_lecam=kw["use_lecam"],
+        augment_before_perceptual_loss=kw["augment_before_perceptual_loss"],
+        lpips_weights=kw["lpips_weights"],
+        do_clamp=kw["do_clamp"],
+        clamp_th=kw["clamp_th"],
+        flip_invariance=kw["flip_invariance"],
+        crop_invariance=kw["crop_invariance"],
+        downscale_factor=kw["downscale_factor"],
+        run_name=kw["run_name"],
+        project_name=kw["project_name"],
+        evaluate_every_n_steps=kw["evaluate_every_n_steps"],
+        load_path=kw["load_path"],
+        ckpt_dir=kw["ckpt_dir"],
+        seed=kw["seed"],
+        use_wandb=kw["use_wandb"],
+        mesh_shape=kw["mesh_shape"],
+        full_bf16=kw["full_bf16"],
+        profile_dir=kw["profile_dir"],
+    )
+    from vqgan_tpu.train.trainer import Trainer
+
+    Trainer(cfg, vae_cfg).train()
+
+
+if __name__ == "__main__":
+    train()

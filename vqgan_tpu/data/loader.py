@@ -1,0 +1,71 @@
+"""Dataloader assembly: shard split → decode workers → transform → batches →
+device prefetch.
+
+``create_dataloader`` mirrors the reference signature
+(vae_trainer.py:119-140) and returns an iterator of (B, W, W, 3) float32
+NHWC batches in [-1, 1]. Unlike the reference, the CLI-provided dataset URL
+is honored (the reference overwrites it with hardcoded paths,
+vae_trainer.py:380-387 — documented deviation).
+
+``device_prefetch`` overlaps host decode with device compute by keeping
+``depth`` batches in flight via ``jax.device_put`` with the batch sharding —
+the TPU equivalent of pinned-memory + non-blocking H2D copies.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from vqgan_tpu.data.tar_stream import TarImageStream, expand_braces, split_shards
+from vqgan_tpu.data.transforms import make_eval_transform, make_train_transform
+
+
+def create_dataloader(
+    url: str,
+    batch_size: int,
+    num_workers: int = 4,
+    do_shuffle: bool = True,
+    just_resize: bool = False,
+    width: int = 512,
+    seed: int = 0,
+    loop: bool = True,
+) -> TarImageStream:
+    shards = expand_braces(url)
+    shards = split_shards(shards, jax.process_index(), jax.process_count())
+    transform = (
+        make_eval_transform(width) if just_resize
+        else make_train_transform(width, seed)
+    )
+    return TarImageStream(
+        shards,
+        transform,
+        batch_size=batch_size,
+        num_workers=num_workers,
+        do_shuffle=do_shuffle,
+        seed=seed,
+        loop=loop,
+    )
+
+
+def device_prefetch(
+    iterator: Iterator[np.ndarray], sharding=None, depth: int = 2
+):
+    """Asynchronously stage ``depth`` batches onto device ahead of compute."""
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) < depth:
+            continue
+        yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,83 @@
+"""Host-side image transforms matching the reference's torchvision pipelines
+(vae_trainer.py:93-116), implemented on numpy/cv2.
+
+Train path (this_transform_random_crop_resize): normalize to [-1,1]; with
+p=0.5 random-crop directly at `width`, else resize-shorter-side-to-width then
+random-crop. Eval path (this_transform): normalize, center-crop 512, resize
+to width.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_float(img: np.ndarray) -> np.ndarray:
+    """HWC uint8 [0,255] → float32 [-1,1] (ToTensor + Normalize ±0.5)."""
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    """Resize shorter side to ``size`` (torchvision Resize semantics)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if h <= w:
+        nh, nw = size, max(size, int(round(w * size / h)))
+    else:
+        nh, nw = max(size, int(round(h * size / w))), size
+    interp = cv2.INTER_AREA if nh < h else cv2.INTER_LINEAR
+    return cv2.resize(img, (nw, nh), interpolation=interp)
+
+
+def _resize_exact(img: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    h = img.shape[0]
+    interp = cv2.INTER_AREA if size < h else cv2.INTER_LINEAR
+    return cv2.resize(img, (size, size), interpolation=interp)
+
+
+def _random_crop(img: np.ndarray, size: int, rng: np.random.Generator):
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        img = _resize(img, size)
+        h, w = img.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return img[top : top + size, left : left + size]
+
+
+def _center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        img = _resize(img, size)
+        h, w = img.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return img[top : top + size, left : left + size]
+
+
+def make_train_transform(width: int = 512, seed: int = 0):
+    """p=0.5: RandomCrop(width) directly; else Resize(width)+RandomCrop
+    (vae_trainer.py:105-116)."""
+    rng = np.random.default_rng(seed)
+
+    def transform(img: np.ndarray) -> np.ndarray:
+        if rng.random() < 0.5:
+            out = _random_crop(img, width, rng)
+        else:
+            out = _random_crop(_resize(img, width), width, rng)
+        return _to_float(np.ascontiguousarray(out))
+
+    return transform
+
+
+def make_eval_transform(width: int = 512):
+    """CenterCrop(512) → Resize(width) (vae_trainer.py:95-102)."""
+
+    def transform(img: np.ndarray) -> np.ndarray:
+        out = _resize_exact(_center_crop(img, 512), width)
+        return _to_float(np.ascontiguousarray(out))
+
+    return transform

@@ -148,6 +148,6 @@ def save_torch_checkpoint(params: dict, path: str) -> None:
     """Export flax params as a reference-compatible torch ``.pt``."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           for k, v in params_to_torch_state_dict(params).items()}
     torch.save(sd, path)

@@ -1,0 +1,255 @@
+"""Training orchestration (L5): wires mesh, models, data, the jitted step,
+eval, and checkpointing — the ``train_ddp`` equivalent
+(reference vae_trainer.py:339-912), restructured around a donated on-device
+train state and an async input pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqgan_tpu.config import TrainConfig, VAEConfig, parse_mesh_shape
+from vqgan_tpu.data.loader import create_dataloader, device_prefetch
+from vqgan_tpu.data.synthetic import synthetic_dataloader
+from vqgan_tpu.losses.discriminator import PatchDiscriminator
+from vqgan_tpu.losses.lpips import LPIPS, load_lpips_params
+from vqgan_tpu.models.ae import VAE
+from vqgan_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    init_distributed,
+    replicated,
+)
+from vqgan_tpu.train.checkpoint import CheckpointManager, load_weights, save_weights_torch
+from vqgan_tpu.train.evaluate import make_eval_step, tile_grid
+from vqgan_tpu.train.state import (
+    create_train_state,
+    make_discriminator_optimizer,
+    make_generator_optimizer,
+)
+from vqgan_tpu.train.step import make_train_step
+from vqgan_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, vae_cfg: VAEConfig):
+        self.cfg = cfg
+        self.vae_cfg = vae_cfg
+        init_distributed()
+        self.mesh = create_mesh(parse_mesh_shape(cfg.mesh_shape))
+        self.is_master = jax.process_index() == 0
+
+        if cfg.full_bf16:
+            vae_cfg = VAEConfig(
+                **{**vae_cfg.__dict__, "enc_dtype": "bfloat16", "dec_dtype": "bfloat16"}
+            )
+            self.vae_cfg = vae_cfg
+
+        # deterministic seeding on every process (vae_trainer.py:374-377)
+        root = jax.random.PRNGKey(cfg.seed)
+        k_g, k_d, k_lpips, k_state = jax.random.split(root, 4)
+
+        # models + params
+        self.vae = VAE(cfg=vae_cfg)
+        x0 = jnp.zeros((1, vae_cfg.resolution, vae_cfg.resolution, 3))
+        g_params = self.vae.init(
+            {"params": k_g, "sample": jax.random.fold_in(k_g, 1)}, x0
+        )["params"]
+        if cfg.load_path:
+            loaded = load_weights(cfg.load_path)
+            g_params = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype), g_params, loaded
+            )
+
+        tgt_res = vae_cfg.resolution * (2 if vae_cfg.decoder_also_perform_hr else 1)
+        self.disc = PatchDiscriminator()
+        d_params = None
+        if cfg.do_ganloss:
+            d_params = self.disc.init(
+                k_d, jnp.zeros((1, tgt_res, tgt_res, 3))
+            )["params"]
+
+        self.lpips = LPIPS()
+        self.lpips_params = load_lpips_params(
+            cfg.lpips_weights, k_lpips, image_size=vae_cfg.resolution
+        )
+
+        self.state, self.g_tx, self.d_tx = create_train_state(
+            cfg, g_params, d_params, vae_cfg.ch, k_state
+        )
+
+        # placement: params/state replicated (or sharded per rules), batch on data
+        self.batch_shard = batch_sharding(self.mesh)
+        self.repl = replicated(self.mesh)
+        self.state = jax.device_put(self.state, self.repl)
+        self.lpips_params = jax.device_put(self.lpips_params, self.repl)
+
+        raw_step = make_train_step(
+            cfg, vae_cfg, self.vae, self.disc, self.lpips, self.g_tx, self.d_tx
+        )
+        self._step = jax.jit(raw_step, static_argnums=(3,), donate_argnums=(0,))
+        self._eval_step = make_eval_step(cfg, vae_cfg, self.vae)
+
+        self.logger = MetricLogger(
+            cfg.run_name,
+            cfg.project_name,
+            config={**vae_cfg.__dict__, **cfg.__dict__},
+            use_wandb=cfg.use_wandb,
+            out_dir=os.path.join(cfg.ckpt_dir, cfg.run_name),
+            is_master=self.is_master,
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.ckpt_dir, cfg.run_name, "orbax")
+        )
+        self._np_rng = np.random.default_rng(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def _make_loader(self, train: bool):
+        cfg = self.cfg
+        if cfg.synthetic_data or not (
+            cfg.dataset_url if train else cfg.test_dataset_url
+        ):
+            return synthetic_dataloader(
+                self._local_batch(), cfg.image_size, seed=0 if train else 1
+            )
+        url = cfg.dataset_url if train else cfg.test_dataset_url
+        return iter(
+            create_dataloader(
+                url,
+                self._local_batch(),
+                num_workers=cfg.num_workers,
+                do_shuffle=train,
+                just_resize=not train,
+                width=cfg.image_size,
+                seed=cfg.seed,
+            )
+        )
+
+    def _local_batch(self) -> int:
+        # cfg.batch_size is the GLOBAL batch; each host feeds its share
+        per_host = self.cfg.batch_size // jax.process_count()
+        return max(1, per_host)
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        loader = device_prefetch(self._make_loader(True), self.batch_shard)
+        test_loader = self._make_loader(False)
+        global_step = int(self.state.step)
+        t0 = time.time()
+        metrics = {}
+        last_metrics_device = None
+        profiling = False
+
+        for epoch in range(cfg.num_epochs):
+            for batch in loader:
+                if global_step >= cfg.max_steps:
+                    break
+                time_taken_till_load = time.time() - t0
+                t0 = time.time()
+
+                if cfg.profile_dir and global_step == 10 and self.is_master:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+
+                do_crop = bool(
+                    cfg.crop_invariance and self._np_rng.random() < 0.5
+                )
+                self.state, metrics_device = self._step(
+                    self.state, batch, self.lpips_params, do_crop
+                )
+                last_metrics_device = metrics_device
+
+                if profiling and global_step == 15:
+                    jax.block_until_ready(self.state.g_params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+
+                log_now = global_step % cfg.log_every == 0
+                if log_now:
+                    metrics = {
+                        k: float(v) for k, v in jax.device_get(metrics_device).items()
+                    }
+                time_taken_till_step = time.time() - t0
+
+                if log_now and self.is_master:
+                    metrics["epoch"] = epoch
+                    metrics["time_taken_till_step"] = time_taken_till_step
+                    metrics["time_taken_till_load"] = time_taken_till_load
+                    self.logger.log(metrics, global_step)
+                    self.logger.info(
+                        f"Epoch [{epoch}/{cfg.num_epochs}] step {global_step}: "
+                        + " ".join(
+                            f"{k}={v:.4f}"
+                            for k, v in sorted(metrics.items())
+                            if isinstance(v, float)
+                        )
+                    )
+                if global_step % 200 == 0 and self.is_master and metrics:
+                    # per-200-step stepwise keys (vae_trainer.py:753-765)
+                    self.logger.log(
+                        {
+                            f"loss_stepwise/overall_vae_loss_{global_step}": metrics.get(
+                                "overall_vae_loss", 0.0
+                            )
+                        },
+                        global_step,
+                    )
+
+                global_step += 1
+                t0 = time.time()
+
+                # eval + checkpoint cadence (trigger % n == 1 — reference
+                # vae_trainer.py:805-809 parity)
+                if (
+                    cfg.evaluate_every_n_steps > 0
+                    and global_step % cfg.evaluate_every_n_steps == 1
+                ):
+                    self.evaluate(global_step, epoch, test_loader)
+                    self.save(global_step, epoch)
+            if global_step >= cfg.max_steps:
+                break
+        self.save(global_step, None)
+        self.ckpt.wait()
+        self.logger.close()
+
+    # ------------------------------------------------------------------
+    def evaluate(self, step: int, epoch: int, test_loader) -> None:
+        if not self.is_master:
+            return
+        recons, targets = [], []
+        for _ in range(2):  # 2 test batches (vae_trainer.py:860-861)
+            batch = jnp.asarray(next(test_loader))
+            r, t = self._eval_step(self.state.g_params, batch)
+            recons.append(np.asarray(r))
+            targets.append(np.asarray(t))
+        recon = np.concatenate(recons)
+        target = np.concatenate(targets)
+        d = 512 if self.vae_cfg.decoder_also_perform_hr else 256
+        out_dir = os.path.join(self.cfg.ckpt_dir, self.cfg.run_name, "eval")
+        self.logger.log_images(
+            {
+                "reconstructed_test_images": tile_grid(recon, 2, 4, d),
+                "test_images": tile_grid(target, 2, 4, d),
+            },
+            step,
+            out_dir,
+        )
+        self.logger.info(f"Epoch [{epoch}] - Logged test images at step {step}")
+
+    def save(self, step: int, epoch: Optional[int]) -> None:
+        self.ckpt.save(step, jax.device_get(self.state))
+        if self.is_master:
+            path = os.path.join(
+                self.cfg.ckpt_dir,
+                self.cfg.run_name,
+                f"vae_epoch_{epoch if epoch is not None else 'final'}_step_{step}.pt",
+            )
+            save_weights_torch(jax.device_get(self.state.g_params), path)
+            self.logger.info(f"Saved checkpoint to {path}")
