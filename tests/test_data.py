@@ -1,0 +1,127 @@
+"""Data pipeline tests: brace expansion, shard split, tar streaming,
+transforms, prefetch."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from vqgan_tpu.data.loader import device_prefetch
+from vqgan_tpu.data.tar_stream import (
+    TarImageStream,
+    expand_braces,
+    split_shards,
+)
+from vqgan_tpu.data.transforms import make_eval_transform, make_train_transform
+
+
+def test_expand_braces():
+    out = expand_braces("/d/{00003..00006}.tar")
+    assert out == [f"/d/{i:05d}.tar" for i in range(3, 7)]
+    assert expand_braces("/d/x.tar") == ["/d/x.tar"]
+
+
+def test_split_shards_disjoint_and_complete():
+    shards = [f"s{i}" for i in range(10)]
+    parts = [split_shards(shards, i, 4) for i in range(4)]
+    flat = sorted(sum(parts, []))
+    assert flat == sorted(shards)
+    assert all(
+        not (set(a) & set(b)) for i, a in enumerate(parts) for b in parts[i + 1:]
+    )
+
+
+def _write_tar(path: str, n_images: int, size: int = 64, start: int = 0):
+    from PIL import Image
+
+    with tarfile.open(path, "w") as tf:
+        for i in range(n_images):
+            img = Image.fromarray(
+                (np.random.RandomState(start + i).rand(size, size, 3) * 255).astype(
+                    np.uint8
+                )
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(name=f"{start + i:06d}.png")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+def test_tar_stream_batches(tmp_path):
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"{s:05d}.tar")
+        _write_tar(p, 6, start=s * 6)
+        paths.append(p)
+    stream = TarImageStream(
+        paths,
+        make_eval_transform(width=32),
+        batch_size=4,
+        num_workers=2,
+        do_shuffle=False,
+        loop=False,
+    )
+    batches = list(stream)
+    stream.close()
+    assert len(batches) == 3  # 12 images / batch 4
+    for b in batches:
+        assert b.shape == (4, 32, 32, 3)
+        assert b.dtype == np.float32
+        assert b.min() >= -1.0 and b.max() <= 1.0
+
+
+def test_tar_stream_skips_corrupt(tmp_path):
+    good = str(tmp_path / "00000.tar")
+    _write_tar(good, 4)
+    bad = str(tmp_path / "00001.tar")
+    with open(bad, "wb") as f:
+        f.write(b"not a tar at all")
+    stream = TarImageStream(
+        [good, bad],
+        make_eval_transform(width=16),
+        batch_size=2,
+        num_workers=2,
+        do_shuffle=False,
+        loop=False,
+    )
+    batches = list(stream)
+    stream.close()
+    assert len(batches) == 2  # only the 4 good images
+
+
+def test_train_transform_shapes():
+    t = make_train_transform(width=64, seed=0)
+    for shape in ((100, 80, 3), (64, 64, 3), (40, 200, 3)):
+        img = (np.random.RandomState(0).rand(*shape) * 255).astype(np.uint8)
+        out = t(img)
+        assert out.shape == (64, 64, 3)
+        assert out.dtype == np.float32
+
+
+def test_eval_transform_center_crop():
+    t = make_eval_transform(width=64)
+    img = (np.random.RandomState(1).rand(600, 700, 3) * 255).astype(np.uint8)
+    out = t(img)
+    assert out.shape == (64, 64, 3)
+
+
+def test_device_prefetch_preserves_order():
+    batches = [np.full((2, 4, 4, 3), i, np.float32) for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b)[0, 0, 0, 0]) == i
+
+
+def test_synthetic_deterministic():
+    from vqgan_tpu.data.synthetic import synthetic_dataloader
+
+    a = next(synthetic_dataloader(2, 32, seed=3))
+    b = next(synthetic_dataloader(2, 32, seed=3))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 32, 32, 3)
+    assert abs(a).max() <= 1.0

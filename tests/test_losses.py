@@ -1,0 +1,147 @@
+"""Loss-function unit tests with torch-side golden values."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vqgan_tpu.losses.gan import (
+    disc_accuracy,
+    gan_disc_loss,
+    generator_gan_loss,
+    lecam_penalty,
+    update_lecam_anchors,
+)
+from vqgan_tpu.losses.lpips import LPIPS
+from vqgan_tpu.losses.recon import vae_loss_function
+from vqgan_tpu.losses.discriminator import PatchDiscriminator
+
+torch = pytest.importorskip("torch")
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_gan_disc_loss_bce_golden():
+    real, fake = _rand((4, 16), 1), _rand((4, 16), 2)
+    loss, m = gan_disc_loss(jnp.asarray(real), jnp.asarray(fake), "bce")
+    tr, tf = torch.from_numpy(real), torch.from_numpy(fake)
+    t_loss = 0.5 * (
+        torch.nn.functional.binary_cross_entropy_with_logits(tr, torch.ones_like(tr))
+        + torch.nn.functional.binary_cross_entropy_with_logits(tf, torch.zeros_like(tf))
+    )
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=1e-5)
+    acc_expected = ((real > 0).sum() + (fake < 0).sum()) / (real.size + fake.size)
+    np.testing.assert_allclose(float(m["disc_acc"]), acc_expected, rtol=1e-6)
+
+
+def test_gan_disc_loss_hinge_golden():
+    real, fake = _rand((4, 16), 3), _rand((4, 16), 4)
+    loss, _ = gan_disc_loss(jnp.asarray(real), jnp.asarray(fake), "hinge")
+    t_loss = 0.5 * (
+        torch.relu(1 - torch.from_numpy(real)).mean()
+        + torch.relu(1 + torch.from_numpy(fake)).mean()
+    )
+    np.testing.assert_allclose(float(loss), float(t_loss), rtol=1e-5)
+
+
+def test_generator_gan_loss():
+    fake = _rand((4, 16), 5)
+    tf = torch.from_numpy(fake)
+    np.testing.assert_allclose(
+        float(generator_gan_loss(jnp.asarray(fake), "bce")),
+        float(
+            torch.nn.functional.binary_cross_entropy_with_logits(
+                tf, torch.ones_like(tf)
+            )
+        ),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(generator_gan_loss(jnp.asarray(fake), "hinge")),
+        -fake.mean(),
+        rtol=1e-5,
+    )
+
+
+def test_lecam():
+    real, fake = _rand((4, 8), 6), _rand((4, 8), 7)
+    ar, af = update_lecam_anchors(
+        jnp.zeros(()), jnp.zeros(()), jnp.asarray(real.mean()), jnp.asarray(fake.mean()),
+        beta=0.9,
+    )
+    np.testing.assert_allclose(float(ar), 0.1 * real.mean(), rtol=1e-5)
+    pen = lecam_penalty(jnp.asarray(real), jnp.asarray(fake), ar, af)
+    expected = ((real - float(af)) ** 2).mean() + ((fake - float(ar)) ** 2).mean()
+    np.testing.assert_allclose(float(pen), expected, rtol=1e-5)
+
+
+def test_vae_loss_reference_weights():
+    """Default weights reproduce the reference's recon·0.0 + 0.1·mean(z²)
+    (vae_trainer.py:209)."""
+    x = jnp.asarray(_rand((2, 32, 32, 3), 8))
+    xr = jnp.asarray(_rand((2, 32, 32, 3), 9))
+    z = jnp.asarray(_rand((2, 4, 4, 8), 10))
+    loss, m = vae_loss_function(x, xr, z)
+    np.testing.assert_allclose(float(loss), 0.1 * float(jnp.mean(z**2)), rtol=1e-6)
+    assert float(m["recon_loss"]) == 0.0
+
+
+def test_vae_loss_pooled_recon():
+    x = jnp.asarray(_rand((2, 32, 32, 3), 11))
+    xr = jnp.asarray(_rand((2, 32, 32, 3), 12))
+    z = jnp.zeros((2, 4, 4, 8))
+    loss, m = vae_loss_function(x, xr, z, do_pool=True, recon_weight=1.0, z_reg_weight=0.0)
+    tx = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    txr = torch.from_numpy(np.asarray(xr).transpose(0, 3, 1, 2))
+    t_recon = (
+        torch.nn.functional.interpolate(txr, scale_factor=1 / 16, mode="area")
+        - torch.nn.functional.interpolate(tx, scale_factor=1 / 16, mode="area")
+    ).abs().mean()
+    np.testing.assert_allclose(float(loss), float(t_recon), rtol=1e-5)
+
+
+def test_lpips_zero_for_identical_and_symmetryish():
+    lp = LPIPS()
+    x = jnp.asarray(_rand((2, 32, 32, 3), 13))
+    y = jnp.asarray(_rand((2, 32, 32, 3), 14))
+    params = lp.init(jax.random.PRNGKey(0), x, x)["params"]
+    d_xx = lp.apply({"params": params}, x, x)
+    assert float(jnp.abs(d_xx).max()) < 1e-10
+    d_xy = lp.apply({"params": params}, x, y)
+    d_yx = lp.apply({"params": params}, y, x)
+    np.testing.assert_allclose(np.asarray(d_xy), np.asarray(d_yx), rtol=1e-4)
+    assert float(d_xy.min()) > 0
+
+
+def test_discriminator_patch_count_matches_reference():
+    """Every head must land on the same patch grid so the sum is aligned:
+    16×16=256 patches at 256² input, 32×32=1024 at 512² (utils.py:195)."""
+    disc = PatchDiscriminator()
+    for res, n in ((256, 256), (128, 64)):
+        x = jnp.zeros((1, res, res, 3))
+        params = disc.init(jax.random.PRNGKey(0), x)["params"]
+        out = disc.apply({"params": params}, x)
+        assert out.shape == (1, n)
+
+
+def test_lpips_torch_conversion_shapes():
+    """convert_torch_lpips maps a synthetic vgg.pth-style state_dict."""
+    from vqgan_tpu.losses.lpips import convert_torch_lpips
+    from vqgan_tpu.losses.vgg import TORCHVISION_CONV_INDICES, VGG16_LAYOUT
+
+    sd = {}
+    cin = 3
+    convs = [c for c in VGG16_LAYOUT if c != "M"]
+    for idx, cout in zip(TORCHVISION_CONV_INDICES, convs):
+        sd[f"net.slice1.{idx}.weight"] = np.zeros((cout, cin, 3, 3), np.float32)
+        sd[f"net.slice1.{idx}.bias"] = np.zeros((cout,), np.float32)
+        cin = cout
+    for k, c in enumerate((64, 128, 256, 512, 512)):
+        sd[f"lin{k}.model.1.weight"] = np.full((1, c, 1, 1), 0.5, np.float32)
+    params = convert_torch_lpips(sd)
+    assert params["vgg"]["conv_0"]["kernel"].shape == (3, 3, 3, 64)
+    assert params["lin_4"].shape == (512,)
+    np.testing.assert_allclose(params["lin_0"], 0.5)
