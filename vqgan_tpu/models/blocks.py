@@ -41,17 +41,34 @@ def swish(x: jax.Array) -> jax.Array:
 
 
 class FP32GroupNorm(nn.Module):
-    """GroupNorm(32, eps=1e-6) computed in fp32 (reference ae.py:41-53)."""
+    """GroupNorm(32, eps=1e-6) computed in fp32 (reference ae.py:41-53).
+
+    ``fused_swish``: apply the following swish inside the op. With
+    ``use_pallas`` the fused Pallas kernel (ops/pallas/groupnorm.py) runs on
+    TPU — one-read statistics + one fused normalize·swish sweep.
+    """
 
     num_groups: int = 32
     eps: float = 1e-6
+    fused_swish: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm_fp32(x, scale, bias, self.num_groups, self.eps)
+        if self.use_pallas:
+            from vqgan_tpu.ops.pallas.groupnorm import group_norm_swish_auto
+
+            return group_norm_swish_auto(
+                x, scale, bias, self.num_groups, self.eps,
+                with_swish=self.fused_swish,
+            )
+        out = group_norm_fp32(x, scale, bias, self.num_groups, self.eps)
+        if self.fused_swish:
+            out = jax.nn.silu(out)
+        return out
 
 
 def conv3x3(features: int, dtype: Dtype, name: str | None = None, **kw) -> nn.Conv:

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused fp32 GroupNorm (+ optional swish) over NHWC bf16.
+
+Why a kernel: every ResnetBlock runs norm→swish→conv twice (reference
+ae.py:124-136) with the norm forced to fp32 (ae.py:41-53). A generic schedule
+reads the activation three times (mean pass, variance pass, normalize pass)
+plus one write. This kernel computes per-(batch, group) sum/sum-of-squares in
+ONE read (fp32 accumulation in VMEM), then a second pass applies
+(x−μ)·rstd·γ+β and the swish in the same elementwise sweep: 2 reads + 1
+write, with all math in fp32 and the result cast back to the input dtype —
+matching the reference's FP32GroupNorm numerics.
+
+Mosaic notes: lane-dim reshapes ((T,C)→(T,G,C/G)) are unsupported, so group
+reductions/broadcasts go through a one-hot (C,G) matrix on the MXU — a
+(1,C)@(C,G) contraction per tile, negligible FLOPs. Stats tensors are kept
+whole in VMEM and indexed with program_id.
+
+Falls back to interpret mode off-TPU so the same code path is unit-testable
+on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(s: int, c: int, vmem_budget: int = 4 * 1024 * 1024) -> int:
+    """Largest power-of-two spatial tile dividing s that fits the budget."""
+    t = 1
+    while (
+        t < s
+        and s % (t * 2) == 0
+        and (t * 2) * c * 4 * 2 <= vmem_budget  # fp32 x + headroom
+    ):
+        t *= 2
+    return t
+
+
+def _group_onehot(c: int, g: int, dtype=jnp.float32) -> jax.Array:
+    """(C, G) one-hot: M[ch, grp] = 1 iff ch // (C/G) == grp."""
+    cg = c // g
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    return ((ch // cg) == gr).astype(dtype)
+
+
+def _stats_kernel(x_ref, out_ref, *, num_groups: int):
+    x = x_ref[0].astype(jnp.float32)  # (T, C)
+    t, c = x.shape
+    onehot = _group_onehot(c, num_groups)
+    s1_c = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    s2_c = jnp.sum(x * x, axis=0, keepdims=True)
+    s1 = jnp.dot(s1_c, onehot, preferred_element_type=jnp.float32)  # (1, G)
+    s2 = jnp.dot(s2_c, onehot, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.concatenate([s1, s2], axis=0)  # (2, G)
+
+
+def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, out_ref, *,
+                  num_groups: int, with_swish: bool):
+    x = x_ref[0].astype(jnp.float32)  # (T, C)
+    t, c = x.shape
+    i = pl.program_id(0)  # batch index; stats arrays are whole in VMEM
+    onehot_t = _group_onehot(c, num_groups).T  # (G, C)
+    mean_c = jnp.dot(
+        mean_ref[pl.ds(i, 1), :], onehot_t, preferred_element_type=jnp.float32
+    )  # (1, C)
+    rstd_c = jnp.dot(
+        rstd_ref[pl.ds(i, 1), :], onehot_t, preferred_element_type=jnp.float32
+    )
+    y = (x - mean_c) * rstd_c
+    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    if with_swish:
+        y = y * jax.nn.sigmoid(y)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "with_swish", "interpret")
+)
+def fused_group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    with_swish: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """GroupNorm(+swish) over channel-last x of shape (B, ..., C)."""
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    assert c % num_groups == 0, (c, num_groups)
+    s = 1
+    for d in x.shape[1:-1]:
+        s *= d
+    xs = x.reshape(b, s, c)
+    tile = _pick_tile(s, c)
+    n_tiles = s // tile
+    g = num_groups
+
+    partial = pl.pallas_call(
+        functools.partial(_stats_kernel, num_groups=g),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, g), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, 2, g), jnp.float32),
+        interpret=interpret,
+    )(xs)
+
+    sums = partial.sum(axis=1)  # (B, 2, G)
+    n = s * (c // g)
+    mean = sums[:, 0, :] / n  # (B, G)
+    var = sums[:, 1, :] / n - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, num_groups=g, with_swish=with_swish),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # stats/affine params are tiny — keep the whole arrays resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
+        interpret=interpret,
+    )(xs, mean, rstd, scale.reshape(1, c), bias.reshape(1, c))
+
+    return out.reshape(orig_shape)
+
+
+def group_norm_swish_auto(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    with_swish: bool = True,
+) -> jax.Array:
+    """Use the Pallas kernel on TPU, interpret elsewhere (tests)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return fused_group_norm(
+        x, scale, bias, num_groups, eps, with_swish, interpret=not on_tpu
+    )
