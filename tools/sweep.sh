@@ -1,0 +1,30 @@
+#!/bin/bash
+# LR × width × attention sweep — the reference's grid (sweep.sh:3-28) on the
+# TPU CLI. log2(lr) ∈ [-8,-2] × vae_ch ∈ {32,64,128} × attn ∈ {off,on},
+# 2000 steps, global batch 32.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DATASET_URL="${DATASET_URL:-}"
+EXTRA_FLAGS="${EXTRA_FLAGS:-}"
+
+for log2lr in -8 -7 -6 -5 -4 -3 -2; do
+  lr=$(python -c "print(2**($log2lr))")
+  for ch in 32 64 128; do
+    for attn in False True; do
+      run_name="sweep_lr2e${log2lr}_ch${ch}_attn${attn}"
+      echo "=== ${run_name}"
+      python -m vqgan_tpu.cli \
+        --dataset_url "${DATASET_URL}" \
+        --learning_rate_vae "${lr}" \
+        --vae_ch "${ch}" \
+        --do_attn "${attn}" \
+        --batch_size 32 \
+        --max_steps 2000 \
+        --evaluate_every_n_steps 500 \
+        --run_name "${run_name}" \
+        --project_name vae_sweep_attn_lr_width \
+        ${EXTRA_FLAGS}
+    done
+  done
+done

@@ -61,7 +61,10 @@ def create_mesh(
         for k in wildcards[1:]:
             shape[k] = 1
     if math.prod(shape.values()) != n:
-        raise ValueError(f"mesh {shape} != {n} devices")
+        raise ValueError(
+            f"mesh axes {shape} multiply to {math.prod(shape.values())} "
+            f"but {n} device(s) are available"
+        )
     axis_names = tuple(shape.keys())
     dev_array = np.asarray(devices).reshape(tuple(shape.values()))
     return Mesh(dev_array, axis_names)

@@ -44,6 +44,14 @@ class Trainer:
         init_distributed()
         self.mesh = create_mesh(parse_mesh_shape(cfg.mesh_shape))
         self.is_master = jax.process_index() == 0
+        n_data = 1
+        for ax in ("data", "fsdp"):
+            n_data *= self.mesh.shape.get(ax, 1)
+        if cfg.batch_size % n_data:
+            raise ValueError(
+                f"global batch_size {cfg.batch_size} must be divisible by the "
+                f"data-parallel extent {n_data} of mesh {dict(self.mesh.shape)}"
+            )
 
         if cfg.full_bf16:
             vae_cfg = VAEConfig(
@@ -231,6 +239,38 @@ class Trainer:
             targets.append(np.asarray(t))
         recon = np.concatenate(recons)
         target = np.concatenate(targets)
+
+        # quality metrics at fixed steps (BASELINE.md contract):
+        # eval/lpips on recon pairs; eval/rfid_vgg_proxy Fréchet distance
+        try:
+            if not hasattr(self, "_eval_lpips"):
+                lp = self.lpips
+
+                @jax.jit
+                def _elp(params, a, b):
+                    return lp.apply({"params": params}, a, b).mean()
+
+                self._eval_lpips = _elp
+                from vqgan_tpu.losses.fid import make_feature_fn
+
+                self._eval_feats = make_feature_fn(self.lpips_params["vgg"])
+            lp_val = float(
+                self._eval_lpips(
+                    self.lpips_params,
+                    jnp.asarray(recon * 2.0 - 1.0),
+                    jnp.asarray(target * 2.0 - 1.0),
+                )
+            )
+            from vqgan_tpu.losses.fid import frechet_distance
+
+            fa = np.asarray(self._eval_feats(jnp.asarray(recon * 2.0 - 1.0)))
+            fb = np.asarray(self._eval_feats(jnp.asarray(target * 2.0 - 1.0)))
+            rfid = frechet_distance(fa, fb)
+            self.logger.log(
+                {"eval/lpips": lp_val, "eval/rfid_vgg_proxy": rfid}, step
+            )
+        except Exception as e:  # metrics must never kill training
+            self.logger.info(f"eval metrics failed: {e}")
         d = 512 if self.vae_cfg.decoder_also_perform_hr else 256
         out_dir = os.path.join(self.cfg.ckpt_dir, self.cfg.run_name, "eval")
         self.logger.log_images(
