@@ -70,6 +70,9 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--use_lecam", type=bool, default=False, help="Whether to use LeCam regularization")
 @click.option("--disc_type", type=str, default="bce", help="Discriminator type: bce | hinge")
 # --- TPU-native additions ---
+@click.option("--recon_weight", type=float, default=0.0, help="Reconstruction loss weight (the reference hardcodes 0.0, vae_trainer.py:209)")
+@click.option("--z_reg_weight", type=float, default=0.1, help="z^2 latent penalty weight (reference 0.1)")
+@click.option("--do_pool_recon", type=bool, default=True, help="True: pooled L1 recon; False: blurriness-heatmap-masked L1")
 @click.option("--reg_type", type=str, default="identity_gaussian", help="Latent regularizer: identity_gaussian | gaussian | vq")
 @click.option("--vq_codebook_size", type=int, default=16384, help="VQ codebook size (reg_type=vq)")
 @click.option("--mesh_shape", type=str, default="data=-1", help="Device mesh, e.g. data=4,fsdp=2,tensor=1")
@@ -112,6 +115,9 @@ def train(**kw):
         do_ganloss=kw["do_ganloss"],
         disc_type=kw["disc_type"],
         use_lecam=kw["use_lecam"],
+        recon_weight=kw["recon_weight"],
+        z_reg_weight=kw["z_reg_weight"],
+        do_pool_recon=kw["do_pool_recon"],
         augment_before_perceptual_loss=kw["augment_before_perceptual_loss"],
         lpips_weights=kw["lpips_weights"],
         do_clamp=kw["do_clamp"],

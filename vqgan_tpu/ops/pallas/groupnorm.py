@@ -142,6 +142,43 @@ def fused_group_norm(
     return out.reshape(orig_shape)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_gn_vjp(x, scale, bias, num_groups, eps, with_swish, interpret):
+    return fused_group_norm(
+        x, scale, bias, num_groups, eps, with_swish, interpret=interpret
+    )
+
+
+def _reference_impl(x, scale, bias, num_groups, eps, with_swish):
+    from vqgan_tpu.ops.normalization import group_norm_fp32
+
+    out = group_norm_fp32(x, scale, bias, num_groups, eps)
+    if with_swish:
+        out = jax.nn.silu(out)
+    return out
+
+
+def _fused_gn_fwd(x, scale, bias, num_groups, eps, with_swish, interpret):
+    out = fused_group_norm(
+        x, scale, bias, num_groups, eps, with_swish, interpret=interpret
+    )
+    return out, (x, scale, bias)
+
+
+def _fused_gn_bwd(num_groups, eps, with_swish, interpret, res, g):
+    # Backward differentiates the XLA reference implementation (recompute) —
+    # correctness-first; the Pallas win stays on the forward/inference path.
+    x, scale, bias = res
+    _, pullback = jax.vjp(
+        lambda x, s, b: _reference_impl(x, s, b, num_groups, eps, with_swish),
+        x, scale, bias,
+    )
+    return pullback(g)
+
+
+_fused_gn_vjp.defvjp(_fused_gn_fwd, _fused_gn_bwd)
+
+
 def group_norm_swish_auto(
     x: jax.Array,
     scale: jax.Array,
@@ -150,8 +187,9 @@ def group_norm_swish_auto(
     eps: float = 1e-6,
     with_swish: bool = True,
 ) -> jax.Array:
-    """Use the Pallas kernel on TPU, interpret elsewhere (tests)."""
+    """Differentiable fused GroupNorm(+swish): Pallas forward on TPU
+    (interpret mode elsewhere), XLA-derived backward."""
     on_tpu = jax.devices()[0].platform == "tpu"
-    return fused_group_norm(
-        x, scale, bias, num_groups, eps, with_swish, interpret=not on_tpu
+    return _fused_gn_vjp(
+        x, scale, bias, num_groups, eps, with_swish, not on_tpu
     )

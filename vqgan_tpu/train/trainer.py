@@ -117,6 +117,18 @@ class Trainer:
         )
         self._np_rng = np.random.default_rng(cfg.seed)
 
+        # preemption recovery: with no explicit --load_path, resume the FULL
+        # train state (params + optimizer moments + LeCam + PRNG + step) from
+        # the latest orbax checkpoint of this run — exact continuation, unlike
+        # the reference's weights-only restarts (vae_trainer.py:505-513)
+        if not cfg.load_path and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(jax.device_get(self.state))
+            if restored is not None:
+                self.state = jax.device_put(restored, self.repl)
+                self.logger.info(
+                    f"Resumed full train state from step {int(self.state.step)}"
+                )
+
     # ------------------------------------------------------------------
     def _make_loader(self, train: bool):
         cfg = self.cfg
