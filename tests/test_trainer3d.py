@@ -1,0 +1,43 @@
+"""3D video VAE training smoke: loss must decrease on synthetic clips."""
+
+import numpy as np
+
+from vqgan_tpu.config import TrainConfig, TVAEConfig
+from vqgan_tpu.train.trainer3d import Trainer3D, synthetic_video_batches
+
+
+def test_synthetic_video_shapes():
+    b = next(synthetic_video_batches(2, 4, 16))
+    assert b.shape == (2, 4, 16, 16, 3)
+    assert abs(b).max() <= 1.0
+    b2 = next(synthetic_video_batches(2, 4, 16))
+    np.testing.assert_array_equal(b, b2)  # deterministic
+
+
+def test_trainer3d_learns(tmp_path):
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        learning_rate_vae=0.03,  # /ch → ~1e-3 effective
+        max_steps=8,
+        run_name="t3d",
+        use_wandb=False,
+        ckpt_dir=str(tmp_path),
+        log_every=100,
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=4)
+    import jax
+
+    losses = []
+    src = synthetic_video_batches(8, 4, 16, seed=42)
+    for i in range(10):
+        batch = jax.device_put(next(src), trainer.batch_shard)
+        trainer.params, trainer.opt_state, trainer.rng, metrics = trainer._step(
+            trainer.params, trainer.opt_state, batch, trainer.rng
+        )
+        losses.append(float(metrics["recon_l2"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < losses[0], losses

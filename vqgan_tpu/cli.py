@@ -85,6 +85,7 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--ckpt_dir", type=str, default="./ckpt", help="Checkpoint root directory")
 @click.option("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of steps 10-15 here")
 @click.option("--seed", type=int, default=42, help="Seed (reference seeds everything to 42)")
+@click.option("--log_every", type=int, default=5, help="Metric logging cadence in steps (reference logs every 5)")
 def train(**kw):
     """Train the 2D image VAE (optionally GAN) — TPU-native train_ddp."""
     vae_cfg = VAEConfig(
@@ -131,6 +132,7 @@ def train(**kw):
         load_path=kw["load_path"],
         ckpt_dir=kw["ckpt_dir"],
         seed=kw["seed"],
+        log_every=kw["log_every"],
         use_wandb=kw["use_wandb"],
         mesh_shape=kw["mesh_shape"],
         full_bf16=kw["full_bf16"],
@@ -141,5 +143,65 @@ def train(**kw):
     Trainer(cfg, vae_cfg).train()
 
 
+@click.command()
+@click.option("--batch_size", type=int, default=4)
+@click.option("--vae_ch", type=int, default=64)
+@click.option("--vae_ch_mult", type=str, default="1,2,4,4")
+@click.option("--vae_num_res_blocks", type=int, default=2)
+@click.option("--vae_z_channels", type=int, default=16)
+@click.option("--vae_resolution", type=int, default=64)
+@click.option("--frames", type=int, default=8, help="Clip length T")
+@click.option("--reg_type", type=str, default="gaussian", help="gaussian | vq")
+@click.option("--learning_rate_vae", type=float, default=1e-2)
+@click.option("--max_steps", type=int, default=1000)
+@click.option("--run_name", type=str, default="tvae_run")
+@click.option("--mesh_shape", type=str, default="data=-1")
+@click.option("--use_wandb", type=bool, default=True)
+@click.option("--log_every", type=int, default=5)
+@click.option("--seed", type=int, default=42)
+def train3d(**kw):
+    """Train the 3D video VAE (TVAE, reference tae.py) on synthetic clips —
+    the video-model capability the reference declares but never wires."""
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.train.trainer3d import Trainer3D
+
+    tvae_cfg = TVAEConfig(
+        resolution=kw["vae_resolution"],
+        ch=kw["vae_ch"],
+        ch_mult=parse_ch_mult(kw["vae_ch_mult"]),
+        num_res_blocks=kw["vae_num_res_blocks"],
+        z_channels=kw["vae_z_channels"],
+        reg_type=kw["reg_type"],
+        vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
+    )
+    cfg = TrainConfig(
+        batch_size=kw["batch_size"],
+        learning_rate_vae=kw["learning_rate_vae"],
+        max_steps=kw["max_steps"],
+        run_name=kw["run_name"],
+        mesh_shape=kw["mesh_shape"],
+        use_wandb=kw["use_wandb"],
+        log_every=kw["log_every"],
+        seed=kw["seed"],
+    )
+    Trainer3D(cfg, tvae_cfg, frames=kw["frames"]).train()
+
+
+@click.group()
+def cli():
+    pass
+
+
+cli.add_command(train)
+cli.add_command(train3d)
+
+
 if __name__ == "__main__":
-    train()
+    import sys
+
+    # `python -m vqgan_tpu.cli [flags]` keeps the reference's single-command
+    # feel (defaults to `train`); `... train3d [flags]` selects the 3D path.
+    if len(sys.argv) > 1 and sys.argv[1] in ("train", "train3d"):
+        cli()
+    else:
+        train()

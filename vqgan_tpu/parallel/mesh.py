@@ -31,16 +31,36 @@ AXES = ("data", "fsdp", "tensor")
 
 
 def init_distributed() -> None:
-    """Multi-host init (torchrun equivalent). No-op on a single process."""
+    """Multi-host runtime init — the torchrun equivalent.
+
+    On a TPU pod every host runs this same program;
+    ``jax.distributed.initialize()`` wires the coordination service so
+    ``jax.devices()`` spans the whole slice and ``jax.process_index()``
+    drives the per-host data split (data/tar_stream.py). Triggered by the
+    standard coordinator env vars or an explicit VQGAN_TPU_MULTIHOST=1
+    (auto-calling it unconditionally breaks single-host setups whose images
+    set TPU worker env vars, like this one).
+    """
+    import os
+
     if jax.process_count() > 1:
         return  # already initialized by the launcher
-    try:
-        import os
-
-        if "COORDINATOR_ADDRESS" in os.environ:
+    triggers = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    if os.environ.get("VQGAN_TPU_MULTIHOST") == "1" or any(
+        v in os.environ for v in triggers
+    ):
+        try:
             jax.distributed.initialize()
-    except Exception:
-        pass
+        except Exception as e:  # pragma: no cover
+            import logging
+
+            logging.getLogger("vqgan_tpu").warning(
+                f"jax.distributed.initialize() failed: {e}; continuing single-host"
+            )
 
 
 def create_mesh(

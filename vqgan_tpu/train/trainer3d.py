@@ -1,0 +1,136 @@
+"""3D video VAE training — a capability the reference declares but never
+wires (tae.py is standalone, imported by no trainer; SURVEY.md §2.2).
+
+A compact data-parallel trainer for the TVAE: reconstruction (L2 + optional
+L1) + the z² latent penalty + proper KL for the real DiagonalGaussian
+regularizer, jitted over the same mesh machinery as the 2D path. Video
+batches are NDTHWC in [-1, 1]; the default source is a synthetic moving-
+pattern generator so the path is runnable anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqgan_tpu.config import TrainConfig, TVAEConfig
+from vqgan_tpu.models.tae import TVAE
+from vqgan_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from vqgan_tpu.utils.logging import MetricLogger
+
+
+def synthetic_video_batches(
+    batch: int, frames: int, size: int, seed: int = 0
+) -> Iterator[np.ndarray]:
+    """Deterministic moving-gradient clips (B, T, H, W, 3) in [-1, 1]."""
+    step = 0
+    while True:
+        rng = np.random.default_rng(seed * 7919 + step)
+        t = np.arange(frames, dtype=np.float32)[None, :, None, None, None]
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        clips = []
+        for _ in range(batch):
+            vx, vy, ph = rng.uniform(-1, 1, 3).astype(np.float32)
+            base = np.sin(
+                2 * np.pi * (xx[None] * 2 + yy[None] * 3 + ph)
+                + 0.3 * t[0, :, :, 0] * vx
+            )
+            clip = np.stack([base * c for c in rng.uniform(0.3, 1.0, 3)], -1)
+            clips.append(np.clip(clip, -1, 1))
+        yield np.stack(clips).astype(np.float32)
+        step += 1
+
+
+def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
+    kl_weight = cfg.z_reg_weight
+
+    def loss_fn(params, batch, rng):
+        z = model.apply({"params": params}, batch, method=model.encode)
+        if tvae_cfg.reg_type == "gaussian":
+            mean, logvar = jnp.split(z.astype(jnp.float32), 2, axis=-1)
+            logvar = jnp.clip(logvar, min=-3.0)  # tae.py:262
+            std = jnp.exp(0.5 * logvar)
+            eps = jax.random.normal(rng, mean.shape)
+            z_s = (mean + std * eps).astype(z.dtype)
+            # KL(q||N(0,1)) per element
+            kl = 0.5 * jnp.mean(mean**2 + jnp.exp(logvar) - 1.0 - logvar)
+        else:
+            out = model.apply(
+                {"params": params}, z, method=lambda m, zz: m.reg(zz)
+            )
+            z_s, aux = out if isinstance(out, tuple) else (out, None)
+            kl = aux["vq_loss"] if aux else jnp.mean(jnp.square(z))
+        recon = model.apply({"params": params}, z_s, method=model.decode)
+        rec = jnp.mean(jnp.square(recon.astype(jnp.float32) - batch))
+        total = rec + kl_weight * kl
+        return total, {"recon_l2": rec, "kl": kl, "loss": total}
+
+    def step(params, opt_state, batch, rng):
+        rng, sub = jax.random.split(rng)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, sub
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, metrics
+
+    return step
+
+
+class Trainer3D:
+    def __init__(self, cfg: TrainConfig, tvae_cfg: TVAEConfig,
+                 frames: int = 8):
+        from vqgan_tpu.config import parse_mesh_shape
+
+        self.cfg = cfg
+        self.tvae_cfg = tvae_cfg
+        self.frames = frames
+        self.mesh = create_mesh(parse_mesh_shape(cfg.mesh_shape))
+        self.model = TVAE(cfg=tvae_cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        x0 = jnp.zeros((1, frames, tvae_cfg.resolution, tvae_cfg.resolution, 3))
+        self.params = self.model.init({"params": rng, "sample": rng}, x0)["params"]
+        self.tx = optax.adamw(
+            cfg.learning_rate_vae / tvae_cfg.ch,
+            b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self.params = jax.device_put(self.params, replicated(self.mesh))
+        self._step = jax.jit(
+            make_train_step_3d(cfg, tvae_cfg, self.model, self.tx),
+            donate_argnums=(0, 1),
+        )
+        self.batch_shard = batch_sharding(self.mesh, ndim=5)
+        self.logger = MetricLogger(
+            cfg.run_name, cfg.project_name, use_wandb=cfg.use_wandb,
+            out_dir=f"{cfg.ckpt_dir}/{cfg.run_name}",
+            is_master=jax.process_index() == 0,
+        )
+
+    def train(self):
+        cfg = self.cfg
+        src = synthetic_video_batches(
+            cfg.batch_size // jax.process_count(),
+            self.frames,
+            self.tvae_cfg.resolution,
+            seed=cfg.seed,
+        )
+        for step_i in range(cfg.max_steps):
+            batch = jax.device_put(next(src), self.batch_shard)
+            self.params, self.opt_state, self.rng, metrics = self._step(
+                self.params, self.opt_state, batch, self.rng
+            )
+            if step_i % cfg.log_every == 0:
+                vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                self.logger.log(vals, step_i)
+                self.logger.info(
+                    f"3d step {step_i}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                )
+        self.logger.close()
+        return self.params
