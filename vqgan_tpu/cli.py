@@ -76,6 +76,8 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--reg_type", type=str, default="identity_gaussian", help="Latent regularizer: identity_gaussian | gaussian | vq")
 @click.option("--vq_codebook_size", type=int, default=16384, help="VQ codebook size (reg_type=vq)")
 @click.option("--mesh_shape", type=str, default="data=-1", help="Device mesh, e.g. data=4,fsdp=2,tensor=1")
+@click.option("--remat", type=bool, default=False, help="Activation rematerialization (fit large configs in HBM)")
+@click.option("--use_pallas_gn", type=bool, default=False, help="Use the Pallas fused GroupNorm+swish kernel")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
 @click.option("--synthetic_data", type=bool, default=False, help="Use the deterministic synthetic data source")
 @click.option("--image_size", type=int, default=512, help="Loaded image resolution (reference MAX_WIDTH)")
@@ -101,6 +103,8 @@ def train(**kw):
         use_wavelet=kw["use_wavelet"],
         reg_type=kw["reg_type"],
         vq_codebook_size=kw["vq_codebook_size"],
+        remat=kw["remat"],
+        use_pallas_gn=kw["use_pallas_gn"],
     )
     cfg = TrainConfig(
         dataset_url=kw["dataset_url"],

@@ -54,6 +54,12 @@ class VAEConfig:
     # GroupNorm always reduces in fp32 (ae.py:41-53).
     enc_dtype: str = "float32"
     dec_dtype: str = "bfloat16"
+    # activation rematerialization at ResnetBlock granularity: trades ~1/3
+    # extra forward FLOPs for O(depth) less activation memory — required to
+    # fit large configs (e.g. the HDR 512px recipe) in a 16GB chip
+    remat: bool = False
+    # use the Pallas fused GroupNorm+swish kernel (ops/pallas/groupnorm.py)
+    use_pallas_gn: bool = False
 
     @property
     def ffactor(self) -> int:

@@ -48,11 +48,17 @@ class DownLevel(nn.Module):
     num_res_blocks: int
     has_downsample: bool
     dtype: Dtype
+    remat: bool = False
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
+        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         for i in range(self.num_res_blocks):
-            h = ResnetBlock(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+            h = Block(
+                self.block_out, dtype=self.dtype, pallas_gn=self.pallas_gn,
+                name=f"block_{i}",
+            )(h)
         if self.has_downsample:
             h = Downsample(dtype=self.dtype, name="downsample")(h)
         return h
@@ -63,11 +69,17 @@ class UpLevel(nn.Module):
     num_res_blocks: int
     has_upsample: bool
     dtype: Dtype
+    remat: bool = False
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
+        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         for i in range(self.num_res_blocks + 1):
-            h = ResnetBlock(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+            h = Block(
+                self.block_out, dtype=self.dtype, pallas_gn=self.pallas_gn,
+                name=f"block_{i}",
+            )(h)
         if self.has_upsample:
             h = Upsample(dtype=self.dtype, name="upsample")(h)
         return h
@@ -85,6 +97,8 @@ class Encoder(nn.Module):
     use_wavelet: bool = False
     double_z: bool = False
     dtype: Dtype = jnp.float32
+    remat: bool = False
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -108,16 +122,22 @@ class Encoder(nn.Module):
                 num_res_blocks=self.num_res_blocks,
                 has_downsample=has_down,
                 dtype=self.dtype,
+                remat=self.remat,
+                pallas_gn=self.pallas_gn,
                 name=f"down_{i_level}",
             )(h)
 
         block_in = self.ch * ch_mult[-1]
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
+                  name="mid_block_1")(h)
         if self.use_attn:
             h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
-        h = FP32GroupNorm(name="norm_out")(h)
-        h = swish(h)
+        h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
+                  name="mid_block_2")(h)
+        h = FP32GroupNorm(
+            name="norm_out", fused_swish=True, use_pallas=self.pallas_gn
+        )(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
         h = conv3x3(out_ch, self.dtype, name="conv_out")(h)
         return h
@@ -132,26 +152,34 @@ class Decoder(nn.Module):
     num_res_blocks: int
     use_attn: bool = False
     dtype: Dtype = jnp.float32
+    remat: bool = False
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         h = conv3x3(block_in, self.dtype, name="conv_in")(z)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
+                  name="mid_block_1")(h)
         if self.use_attn:
             h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
+                  name="mid_block_2")(h)
         for i_level in reversed(range(num_resolutions)):
             h = UpLevel(
                 block_out=self.ch * self.ch_mult[i_level],
                 num_res_blocks=self.num_res_blocks,
                 has_upsample=i_level != 0,
                 dtype=self.dtype,
+                remat=self.remat,
+                pallas_gn=self.pallas_gn,
                 name=f"up_{i_level}",
             )(h)
-        h = FP32GroupNorm(name="norm_out")(h)
-        h = swish(h)
+        h = FP32GroupNorm(
+            name="norm_out", fused_swish=True, use_pallas=self.pallas_gn
+        )(h)
         h = conv3x3(self.out_ch, self.dtype, name="conv_out")(h)
         return h
 
@@ -204,6 +232,8 @@ class VAE(nn.Module):
             use_wavelet=self.cfg.use_wavelet,
             double_z=double_z,
             dtype=enc_dtype,
+            remat=self.cfg.remat,
+            pallas_gn=self.cfg.use_pallas_gn,
         )
         self.decoder = Decoder(
             ch=self.cfg.ch,
@@ -212,6 +242,8 @@ class VAE(nn.Module):
             num_res_blocks=self.cfg.num_res_blocks,
             use_attn=self.cfg.use_attn,
             dtype=dec_dtype,
+            remat=self.cfg.remat,
+            pallas_gn=self.cfg.use_pallas_gn,
         )
         if self.cfg.reg_type == "identity_gaussian":
             self.reg = IdentityGaussian()

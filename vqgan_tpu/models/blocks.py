@@ -103,15 +103,18 @@ class ResnetBlock(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_channels = x.shape[-1]
-        h = FP32GroupNorm(name="norm1")(x)
-        h = swish(h)
+        h = FP32GroupNorm(
+            name="norm1", fused_swish=True, use_pallas=self.pallas_gn
+        )(x)
         h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = FP32GroupNorm(name="norm2")(h)
-        h = swish(h)
+        h = FP32GroupNorm(
+            name="norm2", fused_swish=True, use_pallas=self.pallas_gn
+        )(h)
         # conv2 init near-zero so residual branches start ≈ identity
         # (reference ae.py:120-121: normal std=1e-4/out_ch, zero bias)
         h = nn.Conv(
