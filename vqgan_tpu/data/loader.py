@@ -36,10 +36,18 @@ def create_dataloader(
 ) -> TarImageStream:
     shards = expand_braces(url)
     shards = split_shards(shards, jax.process_index(), jax.process_count())
-    transform = (
-        make_eval_transform(width) if just_resize
-        else make_train_transform(width, seed)
-    )
+    if just_resize:
+        transform = make_eval_transform(width)
+    else:
+        # prefer the C++ fused decode+transform pipeline when it builds
+        from vqgan_tpu.data.native import native_available
+        from vqgan_tpu.data.transforms import make_native_train_transform
+
+        transform = (
+            make_native_train_transform(width, seed)
+            if native_available()
+            else make_train_transform(width, seed)
+        )
     return TarImageStream(
         shards,
         transform,

@@ -70,9 +70,12 @@ def _decode_image(data: bytes) -> Optional[np.ndarray]:
         return None
 
 
-def _iter_tar_samples(path: str) -> Iterator[np.ndarray]:
-    """Yield decoded images from one tar shard (sequential read — tar
-    streaming is IO-friendly by construction)."""
+def _iter_tar_samples(
+    path: str, raw_bytes: bool = False
+) -> Iterator[np.ndarray]:
+    """Yield decoded images (or raw bytes when the transform owns decoding —
+    the native C++ pipeline path) from one tar shard; sequential read — tar
+    streaming is IO-friendly by construction."""
     try:
         with tarfile.open(path, "r|*") as tf:
             for member in tf:
@@ -84,7 +87,11 @@ def _iter_tar_samples(path: str) -> Iterator[np.ndarray]:
                 f = tf.extractfile(member)
                 if f is None:
                     continue
-                img = _decode_image(f.read())
+                data = f.read()
+                if raw_bytes:
+                    yield data
+                    continue
+                img = _decode_image(data)
                 if img is not None:
                     yield img
     except (tarfile.TarError, OSError):
@@ -127,6 +134,7 @@ class TarImageStream:
     def _worker(self, worker_id: int):
         rng = np.random.default_rng(self.seed + worker_id)
         my_shards = self.shards[worker_id :: self.num_workers]
+        raw = bool(getattr(self.transform, "wants_bytes", False))
         epoch = 0
         try:
             while not self._stop.is_set():
@@ -134,7 +142,7 @@ class TarImageStream:
                 if self.do_shuffle:
                     rng.shuffle(order)
                 for shard in order:
-                    for img in _iter_tar_samples(shard):
+                    for img in _iter_tar_samples(shard, raw_bytes=raw):
                         if self._stop.is_set():
                             return
                         try:

@@ -73,6 +73,38 @@ def make_train_transform(width: int = 512, seed: int = 0):
     return transform
 
 
+def make_native_train_transform(width: int = 512, seed: int = 0):
+    """Bytes → float32 HWC via the C++ fused decode+resize+crop+normalize
+    pipeline (data/native). Randomness (the p=0.5 crop-vs-resize branch and
+    fractional crop offsets, mirroring vae_trainer.py:105-116) stays here;
+    falls back to the Python path on decode failure.
+
+    The returned callable has ``wants_bytes = True`` so TarImageStream skips
+    its own decode.
+    """
+    from vqgan_tpu.data.native import native_pipeline
+
+    rng = np.random.default_rng(seed)
+    fallback = make_train_transform(width, seed + 1)
+
+    def transform(data: bytes) -> np.ndarray:
+        resize_to = 0 if rng.random() < 0.5 else width
+        out = native_pipeline(
+            data, resize_to, float(rng.random()), float(rng.random()), width
+        )
+        if out is None:
+            from vqgan_tpu.data.tar_stream import _decode_image
+
+            img = _decode_image(data)
+            if img is None:
+                raise ValueError("undecodable image")
+            return fallback(img)
+        return out
+
+    transform.wants_bytes = True
+    return transform
+
+
 def make_eval_transform(width: int = 512):
     """CenterCrop(512) → Resize(width) (vae_trainer.py:95-102)."""
 
