@@ -1,0 +1,127 @@
+"""Inference pipeline: load a checkpoint (ours or a reference torch .pt) and
+encode/decode images — the published-artifact usage surface
+(reference README.hf.md:28-53 shows exactly this flow for AuraEquiVAE).
+
+    from vqgan_tpu.inference import VAEPipeline
+    pipe = VAEPipeline.from_checkpoint("vae.pt", VAEConfig(ch=256, ...))
+    z = pipe.encode(images)          # (B,H,W,3) uint8/float → latents
+    recon = pipe.decode(z)           # latents → float images in [0,1]
+
+CLI:  python -m vqgan_tpu.inference --checkpoint vae.pt --images 'a.png b.png'
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqgan_tpu.config import VAEConfig
+from vqgan_tpu.models.ae import VAE
+
+
+class VAEPipeline:
+    def __init__(self, cfg: VAEConfig, params, do_clamp: bool = True,
+                 clamp_th: float = 8.0):
+        self.cfg = cfg
+        self.model = VAE(cfg=cfg)
+        self.params = params
+        self.do_clamp = do_clamp
+        self.clamp_th = clamp_th
+        self._encode = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, method=self.model.encode)
+        )
+        self._decode = jax.jit(
+            lambda p, z: self.model.apply({"params": p}, z, method=self.model.decode)
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, cfg: VAEConfig, **kw
+    ) -> "VAEPipeline":
+        from vqgan_tpu.train.checkpoint import load_weights
+
+        params = jax.tree_util.tree_map(jnp.asarray, load_weights(path))
+        return cls(cfg, params, **kw)
+
+    @staticmethod
+    def _to_model_input(images: np.ndarray) -> jax.Array:
+        x = np.asarray(images)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        if x.ndim == 3:
+            x = x[None]
+        return jnp.asarray(x)
+
+    def encode(self, images) -> jax.Array:
+        """Images (B,H,W,3) uint8 [0,255] or float [-1,1] → latents; clamped
+        to ±clamp_th like the published model (README.hf.md:40)."""
+        z = self._encode(self.params, self._to_model_input(images))
+        if self.do_clamp:
+            z = jnp.clip(z, -self.clamp_th, self.clamp_th)
+        if self.cfg.reg_type == "gaussian":
+            z = jnp.split(z, 2, axis=-1)[0]  # mean
+        return z
+
+    def decode(self, z) -> np.ndarray:
+        """Latents → float images in [0,1]."""
+        dec = self._decode(self.params, jnp.asarray(z)).astype(jnp.float32)
+        return np.asarray(jnp.clip(dec * 0.5 + 0.5, 0.0, 1.0))
+
+    def reconstruct(self, images) -> np.ndarray:
+        return self.decode(self.encode(images))
+
+
+def _main():
+    import click
+
+    @click.command()
+    @click.option("--checkpoint", required=True)
+    @click.option("--images", required=True, help="space-separated image paths")
+    @click.option("--out_dir", default="./recon")
+    @click.option("--vae_ch", type=int, default=256)
+    @click.option("--vae_ch_mult", type=str, default="1,2,4,4")
+    @click.option("--vae_z_channels", type=int, default=16)
+    @click.option("--vae_num_res_blocks", type=int, default=2)
+    @click.option("--vae_resolution", type=int, default=256)
+    @click.option("--use_wavelet", type=bool, default=False)
+    @click.option("--do_attn", type=bool, default=False)
+    @click.option("--decoder_also_perform_hr", type=bool, default=False)
+    def reconstruct(checkpoint, images, out_dir, vae_ch, vae_ch_mult,
+                    vae_z_channels, vae_num_res_blocks, vae_resolution,
+                    use_wavelet, do_attn, decoder_also_perform_hr):
+        from PIL import Image
+
+        from vqgan_tpu.config import parse_ch_mult
+
+        cfg = VAEConfig(
+            resolution=vae_resolution,
+            ch=vae_ch,
+            ch_mult=parse_ch_mult(vae_ch_mult),
+            z_channels=vae_z_channels,
+            num_res_blocks=vae_num_res_blocks,
+            use_wavelet=use_wavelet,
+            use_attn=do_attn,
+            decoder_also_perform_hr=decoder_also_perform_hr,
+        )
+        pipe = VAEPipeline.from_checkpoint(checkpoint, cfg)
+        os.makedirs(out_dir, exist_ok=True)
+        for path in images.split():
+            img = Image.open(path).convert("RGB")
+            s = vae_resolution
+            img = img.resize((s, s))
+            recon = pipe.reconstruct(np.asarray(img, np.uint8))[0]
+            out_path = os.path.join(
+                out_dir, os.path.splitext(os.path.basename(path))[0] + "_recon.png"
+            )
+            Image.fromarray((recon * 255).astype(np.uint8)).save(out_path)
+            print(f"{path} -> {out_path}")
+
+    reconstruct()
+
+
+if __name__ == "__main__":
+    _main()
