@@ -1,0 +1,53 @@
+"""Inference pipeline tests."""
+
+import numpy as np
+
+import jax
+
+from vqgan_tpu.config import VAEConfig
+from vqgan_tpu.inference import VAEPipeline
+from vqgan_tpu.models.ae import init_vae_params
+from vqgan_tpu.train.checkpoint import save_weights_torch
+
+TINY = dict(
+    resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+    enc_dtype="float32", dec_dtype="float32",
+)
+
+
+def test_pipeline_roundtrip(tmp_path):
+    cfg = VAEConfig(**TINY)
+    _, params = init_vae_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "w.pt")
+    save_weights_torch(jax.device_get(params), path)
+
+    pipe = VAEPipeline.from_checkpoint(path, cfg)
+    imgs = (np.random.RandomState(0).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    z = pipe.encode(imgs)
+    assert z.shape == (2, 16, 16, 8)
+    assert float(abs(np.asarray(z)).max()) <= 8.0  # clamp
+    recon = pipe.decode(z)
+    assert recon.shape == (2, 32, 32, 3)
+    assert recon.min() >= 0.0 and recon.max() <= 1.0
+    full = pipe.reconstruct(imgs)
+    np.testing.assert_allclose(full, recon, atol=1e-5)
+
+
+def test_pipeline_single_image_and_float_input(tmp_path):
+    cfg = VAEConfig(**TINY)
+    _, params = init_vae_params(cfg, jax.random.PRNGKey(1))
+    pipe = VAEPipeline(cfg, params)
+    img = np.random.RandomState(1).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    z = pipe.encode(img)
+    assert z.shape == (1, 16, 16, 8)
+
+
+def test_pipeline_gaussian_reg_takes_mean(tmp_path):
+    cfg = VAEConfig(**TINY, reg_type="gaussian")
+    _, params = init_vae_params(cfg, jax.random.PRNGKey(2))
+    pipe = VAEPipeline(cfg, params)
+    imgs = (np.random.RandomState(2).rand(1, 32, 32, 3) * 255).astype(np.uint8)
+    z = pipe.encode(imgs)
+    assert z.shape == (1, 16, 16, 8)  # mean half of 2*z_channels
+    recon = pipe.decode(z)
+    assert recon.shape == (1, 32, 32, 3)
