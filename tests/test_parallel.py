@@ -1,0 +1,103 @@
+"""Parallelism-specific tests on the 8-fake-device CPU backend."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vqgan_tpu.ops.gradnorm import gradnorm
+from vqgan_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    replicated,
+)
+
+
+def test_create_mesh_wildcard(eight_devices):
+    mesh = create_mesh({"data": -1})
+    assert dict(mesh.shape) == {"data": 8}
+    mesh = create_mesh({"data": -1, "tensor": 2})
+    assert dict(mesh.shape) == {"data": 4, "tensor": 2}
+
+
+def test_create_mesh_error_message(eight_devices):
+    with pytest.raises(ValueError, match="multiply to 3"):
+        create_mesh({"data": 3})
+
+
+def test_param_sharding_rules(eight_devices):
+    mesh = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    params = {
+        "kernel": jnp.zeros((3, 3, 64, 128)),
+        "tiny": jnp.zeros((3, 3, 4, 6)),
+        "bias": jnp.zeros((128,)),
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["kernel"].spec == P(None, None, "fsdp", "tensor")
+    assert sh["bias"].spec == P()
+    # dims too small to shard stay replicated
+    assert sh["tiny"].spec == P(None, None, "fsdp", "tensor") or sh["tiny"].spec == P(None, None, None, None)
+
+
+def test_gradnorm_pmean_matches_reference_semantics(eight_devices):
+    """Inside shard_map with axis_name, the backward divides by the MEAN of
+    per-shard norms — the reference's avg_scalar_over_nodes semantics
+    (vae_trainer.py:40-46)."""
+    mesh = create_mesh({"data": 8})
+    x = jnp.arange(8.0 * 4).reshape(8, 4)
+
+    def local_loss(xs):
+        # per-shard cotangent = 2*xs; per-shard norms differ
+        y = gradnorm(xs, 1.0, axis_name="data")
+        return jnp.sum(jnp.square(y))
+
+    def shard_fn(xs):
+        g = jax.grad(local_loss)(xs)
+        return g
+
+    g = shard_map(
+        shard_fn, mesh=mesh, in_specs=P("data"), out_specs=P("data")
+    )(x)
+    # expected: per-shard grad 2*xs normalized by mean of shard norms
+    shard_norms = [float(jnp.linalg.norm(2 * x[i: i + 1])) for i in range(8)]
+    mean_norm = float(np.mean(shard_norms))
+    expected = 2 * np.asarray(x) / (mean_norm + 1e-8)
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5)
+
+
+def test_batch_sharding_spec(eight_devices):
+    mesh = create_mesh({"data": 4, "tensor": 2})
+    bs = batch_sharding(mesh)
+    assert bs.spec == P("data", None, None, None)
+    mesh2 = create_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    bs2 = batch_sharding(mesh2)
+    assert bs2.spec == P(("data", "fsdp"), None, None, None)
+
+
+def test_replicated_params_stay_in_sync_after_sharded_grad(eight_devices):
+    """Correct DP: a grad step on a batch sharded over 8 devices must produce
+    identical (replicated) params — the property the reference's
+    DDP-bypassed generator violates (SURVEY.md §2.5)."""
+    mesh = create_mesh({"data": 8})
+    w = jax.device_put(jnp.ones((4, 4)), replicated(mesh))
+    x = jax.device_put(
+        jnp.arange(8.0 * 4).reshape(8, 4), batch_sharding(mesh, ndim=2)
+    )
+
+    @jax.jit
+    def step(w, x):
+        def loss(w):
+            return jnp.mean(jnp.square(x @ w))
+
+        g = jax.grad(loss)(w)
+        return w - 0.1 * g
+
+    w2 = step(w, x)
+    # fetch per-device copies and compare
+    vals = [np.asarray(s.data) for s in w2.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(vals[0], v)

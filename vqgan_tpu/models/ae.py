@@ -113,16 +113,20 @@ class Encoder(nn.Module):
         else:
             h = conv3x3(self.ch, self.dtype, name="conv_in")(x)
 
+        # remat at LEVEL granularity: only level-boundary activations are
+        # saved; everything within a level is recomputed in the backward —
+        # the decisive memory lever for 512px configs on a 16GB chip
+        Level = nn.remat(DownLevel) if self.remat else DownLevel
         for i_level in range(num_resolutions):
             has_down = i_level != num_resolutions - 1 and not (
                 self.use_wavelet and i_level == 0
             )
-            h = DownLevel(
+            h = Level(
                 block_out=self.ch * ch_mult[i_level],
                 num_res_blocks=self.num_res_blocks,
                 has_downsample=has_down,
                 dtype=self.dtype,
-                remat=self.remat,
+                remat=False,
                 pallas_gn=self.pallas_gn,
                 name=f"down_{i_level}",
             )(h)
@@ -167,13 +171,14 @@ class Decoder(nn.Module):
             h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_2")(h)
+        Level = nn.remat(UpLevel) if self.remat else UpLevel
         for i_level in reversed(range(num_resolutions)):
-            h = UpLevel(
+            h = Level(
                 block_out=self.ch * self.ch_mult[i_level],
                 num_res_blocks=self.num_res_blocks,
                 has_upsample=i_level != 0,
                 dtype=self.dtype,
-                remat=self.remat,
+                remat=False,
                 pallas_gn=self.pallas_gn,
                 name=f"up_{i_level}",
             )(h)

@@ -14,6 +14,12 @@ collective is needed (the reference's ``dist.all_reduce`` becomes implicit).
 For use inside ``shard_map``/``pmap`` bodies, pass ``axis_name`` and the norm
 is averaged with ``lax.pmean``, matching the reference's average-of-rank-norms
 exactly.
+
+Scale note: for N iid shards, the global Frobenius norm is ≈ √N × the
+average of per-shard norms, so the pjit path scales each branch's gradient a
+constant √N smaller than the reference's convention. Both are "fixed-scale"
+balancing — the constant folds into the learning rate — but when matching
+reference loss curves chip-count-for-GPU-count, account for it.
 """
 
 from __future__ import annotations

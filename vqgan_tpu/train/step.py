@@ -164,6 +164,13 @@ def make_train_step(
     def lpips_apply(lpips_params, x, y):
         return lpips_model.apply({"params": lpips_params}, x, y)
 
+    if vae_cfg.remat:
+        # in memory-constrained configs also rematerialize the VGG towers of
+        # the loss branches (their taps at full image resolution dominate
+        # residual memory at 512px)
+        disc_apply = jax.checkpoint(disc_apply)
+        lpips_apply = jax.checkpoint(lpips_apply)
+
     def g_losses(recon, z, aux_loss, target, d_params, lpips_params, rngs):
         """All generator loss branches over (recon, z, aux_loss); reference
         vae_trainer.py:662-698."""
