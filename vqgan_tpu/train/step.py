@@ -129,6 +129,8 @@ def make_train_step(
         x_enc, target = _rand_flip(rngs["flip_in"], (x_enc, target), axis=2)
 
         z = encode(g_params, x_enc)
+        # z statistics are taken PRE-clamp (reference vae_trainer.py:540-561)
+        z_pre = jax.lax.stop_gradient(z)
         if cfg.do_clamp:  # vae_trainer.py:561-562
             z = jnp.clip(z, -cfg.clamp_th, cfg.clamp_th)
         z_s, aux_loss = regularize(g_params, z, rngs["sample"])
@@ -156,7 +158,7 @@ def make_train_step(
             )
 
         recon = decode(g_params, z_s)
-        return recon, z, target, aux_loss
+        return recon, z, target, aux_loss, z_pre
 
     def disc_apply(d_params, x):
         return disc_model.apply({"params": d_params}, x)
@@ -231,10 +233,10 @@ def make_train_step(
         }
 
         # --- shared generator forward (one fwd, one bwd total) ---
-        (recon, z, target, aux_loss), gen_vjp = jax.vjp(
+        (recon, z, target, aux_loss, z_pre), gen_vjp = jax.vjp(
             lambda p: gen_forward(p, batch, rngs, do_crop), state.g_params
         )
-        metrics = _z_statistics(z)
+        metrics = _z_statistics(z_pre)
 
         # --- discriminator update (before G, reference :629-659) ---
         d_params = state.d_params
@@ -293,7 +295,7 @@ def make_train_step(
         )
         d_recon, d_z, d_aux = g_pullback(jnp.ones((), g_total.dtype))
         (g_grads,) = gen_vjp(
-            (d_recon, d_z, jnp.zeros_like(target), d_aux)
+            (d_recon, d_z, jnp.zeros_like(target), d_aux, jnp.zeros_like(z_pre))
         )
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
