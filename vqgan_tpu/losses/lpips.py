@@ -104,7 +104,17 @@ def load_lpips_params(
 
         if path.endswith(".npz"):
             loaded = dict(np.load(path, allow_pickle=True))
-            converted = loaded["params"].item() if "params" in loaded else loaded
+            if "params" in loaded:
+                converted = loaded["params"].item()
+            else:
+                # flat "a/b/c" keys (tools/convert_lpips.py) → nested dict
+                converted = {}
+                for key, arr in loaded.items():
+                    node = converted
+                    *mods, leaf = key.split("/")
+                    for m in mods:
+                        node = node.setdefault(m, {})
+                    node[leaf] = arr
         else:
             import torch
 
