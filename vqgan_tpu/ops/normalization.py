@@ -34,14 +34,20 @@ def group_norm_fp32(
     if c % num_groups != 0:
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
     b = x.shape[0]
-    spatial = x.shape[1:-1]
-    # (B, prod(spatial), G, C/G); reduce over spatial and intra-group channels
-    xg = xf.reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(b, *spatial, c)
-    xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    # Statistics on a grouped VIEW (cast fuses into the reduction); the
+    # normalize pass stays on the ORIGINAL layout so XLA can fuse
+    # cast→normalize→affine→cast into one elementwise sweep without
+    # materializing an fp32 copy of the activation in HBM (that copy was a
+    # >1GB temp per call at 512px, the dominant memory cost of big configs).
+    xg = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3))  # (B, G)
+    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    # per-channel broadcast vectors, shaped (B, 1, ..., 1, C)
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    mean_c = jnp.repeat(mean, c // num_groups, axis=-1).reshape(bshape)
+    rstd_c = jnp.repeat(rstd, c // num_groups, axis=-1).reshape(bshape)
+    y = (x.astype(jnp.float32) - mean_c) * rstd_c
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
