@@ -98,6 +98,27 @@ class VectorQuantizer(nn.Module):
         return z_q_ste.astype(z.dtype), aux
 
 
+def revive_dead_codes(
+    codebook: "jax.Array",
+    counts: "jax.Array",
+    z_samples: "jax.Array",
+    rng: "jax.Array",
+    threshold: float = 1.0,
+) -> "jax.Array":
+    """Reseed rarely-used codes from random encoder outputs — the standard
+    fix for codebook collapse, required to keep large codebooks utilized
+    (cf. the ~99%-utilization result for 100k codebooks, PAPERS.md).
+
+    ``z_samples``: (N, D) flat encoder outputs from the current batch.
+    Codes with EMA count < threshold are replaced by random samples.
+    """
+    k = codebook.shape[0]
+    idx = jax.random.randint(rng, (k,), 0, z_samples.shape[0])
+    replacements = jnp.take(z_samples, idx, axis=0)
+    dead = (counts < threshold)[:, None]
+    return jnp.where(dead, replacements, codebook)
+
+
 def apply_ema_codebook_update(
     params: dict, ema_state: dict, eps: float = 1e-5
 ) -> dict:
