@@ -65,10 +65,10 @@ class FP32GroupNorm(nn.Module):
                 x, scale, bias, self.num_groups, self.eps,
                 with_swish=self.fused_swish,
             )
-        out = group_norm_fp32(x, scale, bias, self.num_groups, self.eps)
-        if self.fused_swish:
-            out = jax.nn.silu(out)
-        return out
+        return group_norm_fp32(
+            x, scale, bias, self.num_groups, self.eps,
+            with_swish=self.fused_swish,
+        )
 
 
 def conv3x3(features: int, dtype: Dtype, name: str | None = None, **kw) -> nn.Conv:
