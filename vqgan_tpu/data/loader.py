@@ -15,7 +15,7 @@ the TPU equivalent of pinned-memory + non-blocking H2D copies.
 from __future__ import annotations
 
 import collections
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import numpy as np

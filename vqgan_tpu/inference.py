@@ -13,7 +13,6 @@ CLI:  python -m vqgan_tpu.inference --checkpoint vae.pt --images 'a.png b.png'
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

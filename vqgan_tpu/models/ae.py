@@ -21,7 +21,7 @@ torch ``encoder.down.0.block.1.conv1.weight`` ↔ params
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

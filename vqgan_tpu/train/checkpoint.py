@@ -12,7 +12,7 @@ reference checkpoints (train/torch_import.py).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -10,8 +10,7 @@ back — an identity check for a Z₂×Z₂-equivariant latent, :837-855) → de
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,11 +28,7 @@ from vqgan_tpu.parallel.mesh import (
 )
 from vqgan_tpu.train.checkpoint import CheckpointManager, load_weights, save_weights_torch
 from vqgan_tpu.train.evaluate import make_eval_step, tile_grid
-from vqgan_tpu.train.state import (
-    create_train_state,
-    make_discriminator_optimizer,
-    make_generator_optimizer,
-)
+from vqgan_tpu.train.state import create_train_state
 from vqgan_tpu.train.step import make_train_step
 from vqgan_tpu.utils.logging import MetricLogger
 

@@ -10,7 +10,6 @@ pattern generator so the path is runnable anywhere.
 
 from __future__ import annotations
 
-import time
 from typing import Iterator
 
 import jax
