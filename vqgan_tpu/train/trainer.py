@@ -72,14 +72,18 @@ class Trainer:
             )
 
         tgt_res = vae_cfg.resolution * (2 if vae_cfg.decoder_also_perform_hr else 1)
-        self.disc = PatchDiscriminator()
+        # the reference runs the discriminator and LPIPS in fp32 (outside its
+        # autocast ctx, vae_trainer.py:630,676); --full_bf16 moves their
+        # compute to bf16 (params stay fp32)
+        loss_dtype = jnp.bfloat16 if cfg.full_bf16 else jnp.float32
+        self.disc = PatchDiscriminator(dtype=loss_dtype)
         d_params = None
         if cfg.do_ganloss:
             d_params = self.disc.init(
                 k_d, jnp.zeros((1, tgt_res, tgt_res, 3))
             )["params"]
 
-        self.lpips = LPIPS()
+        self.lpips = LPIPS(dtype=loss_dtype)
         self.lpips_params = load_lpips_params(
             cfg.lpips_weights, k_lpips, image_size=vae_cfg.resolution
         )
