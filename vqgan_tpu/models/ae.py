@@ -126,7 +126,9 @@ class Encoder(nn.Module):
                 num_res_blocks=self.num_res_blocks,
                 has_downsample=has_down,
                 dtype=self.dtype,
-                remat=False,
+                # nested: blocks also remat inside the rematted level, so the
+                # level's backward-recompute keeps only block boundaries live
+                remat=self.remat,
                 pallas_gn=self.pallas_gn,
                 name=f"down_{i_level}",
             )(h)
@@ -178,7 +180,7 @@ class Decoder(nn.Module):
                 num_res_blocks=self.num_res_blocks,
                 has_upsample=i_level != 0,
                 dtype=self.dtype,
-                remat=False,
+                remat=self.remat,
                 pallas_gn=self.pallas_gn,
                 name=f"up_{i_level}",
             )(h)
