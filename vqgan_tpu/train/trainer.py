@@ -164,7 +164,6 @@ class Trainer:
         global_step = int(self.state.step)
         t0 = time.time()
         metrics = {}
-        last_metrics_device = None
         profiling = False
 
         for epoch in range(cfg.num_epochs):
@@ -184,7 +183,6 @@ class Trainer:
                 self.state, metrics_device = self._step(
                     self.state, batch, self.lpips_params, do_crop
                 )
-                last_metrics_device = metrics_device
 
                 if profiling and global_step == 15:
                     jax.block_until_ready(self.state.g_params)
