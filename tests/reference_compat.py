@@ -18,8 +18,16 @@ REFERENCE_DIR = "/root/reference"
 
 def _install_stubs():
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
+        # a real ModuleSpec so importlib.util.find_spec (used by
+        # transformers' optional-dependency probing) doesn't choke
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         models = types.ModuleType("torchvision.models")
+        models.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.models", None
+        )
 
         def _no_vgg(*a, **k):
             raise RuntimeError("vgg16 weights unavailable in tests")

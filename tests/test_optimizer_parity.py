@@ -1,0 +1,137 @@
+"""End-to-end numerical parity vs PyTorch: gradients and multi-step AdamW
+trajectories on identical weights and batches.
+
+This is the "loss curves must match the reference" contract at test scale:
+the reference VAE (imported weights) trained for a few steps by torch AdamW
+with the reference's two param groups (conv_in fixed 1e-4, rest lr/ch;
+vae_trainer.py:455-468) and HF cosine-warmup schedule must match our
+flax model + optax optimizer step for step.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from tests.reference_compat import import_reference_module  # noqa: E402
+from vqgan_tpu.config import TrainConfig, VAEConfig  # noqa: E402
+from vqgan_tpu.models.ae import VAE  # noqa: E402
+from vqgan_tpu.train.state import make_generator_optimizer  # noqa: E402
+from vqgan_tpu.train.torch_import import torch_state_dict_to_params  # noqa: E402
+
+TINY = dict(resolution=16, ch=32, num_res_blocks=1, z_channels=8)
+
+
+def _build():
+    ref_ae = import_reference_module("ae")
+    torch.manual_seed(0)
+    tvae = ref_ae.VAE(
+        resolution=16, in_channels=3, ch=32, out_ch=3, ch_mult=[1, 2],
+        num_res_blocks=1, z_channels=8, use_attn=False,
+        decoder_also_perform_hr=False, use_wavelet=False,
+    )
+    cfg = VAEConfig(
+        **TINY, ch_mult=(1, 2), enc_dtype="float32", dec_dtype="float32"
+    )
+    jvae = VAE(cfg=cfg)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, torch_state_dict_to_params(tvae.state_dict())
+    )
+    return tvae, jvae, params
+
+
+def _torch_loss(tvae, x_nchw):
+    z = tvae.encoder(x_nchw)
+    rec = tvae.decoder(z)
+    return 0.5 * torch.nn.functional.mse_loss(rec, x_nchw) + 0.1 * (z**2).mean()
+
+
+def _jax_loss(jvae, params, x_nhwc):
+    z = jvae.apply({"params": params}, x_nhwc, method=jvae.encode)
+    rec = jvae.apply({"params": params}, z, method=jvae.decode)
+    return 0.5 * jnp.mean(jnp.square(rec - x_nhwc)) + 0.1 * jnp.mean(z**2)
+
+
+def test_gradient_parity():
+    tvae, jvae, params = _build()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+
+    loss_t = _torch_loss(tvae, torch.from_numpy(x))
+    loss_t.backward()
+    t_grads = {k: p.grad.numpy() for k, p in tvae.named_parameters()}
+
+    loss_j, j_grads = jax.value_and_grad(
+        lambda p: _jax_loss(jvae, p, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    from vqgan_tpu.train.torch_import import params_to_torch_state_dict
+
+    j_flat = params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, j_grads)
+    )
+    assert set(j_flat) == set(t_grads)
+    for k in t_grads:
+        np.testing.assert_allclose(
+            j_flat[k], t_grads[k], rtol=5e-3, atol=2e-5, err_msg=k
+        )
+
+
+def test_adamw_trajectory_parity():
+    """3 optimizer steps with the reference's two-group AdamW + HF cosine
+    schedule must produce the same weights on both sides."""
+    tvae, jvae, params = _build()
+    lr_vae, ch, warmup, total = 0.32, 32, 2, 10  # lr/ch = 1e-2
+
+    opt_t = torch.optim.AdamW(
+        [
+            {"params": [p for n, p in tvae.named_parameters() if "conv_in" not in n],
+             "lr": lr_vae / ch},
+            {"params": [p for n, p in tvae.named_parameters() if "conv_in" in n],
+             "lr": 1e-4},
+        ],
+        weight_decay=1e-3,
+        betas=(0.9, 0.95),
+    )
+    from transformers import get_cosine_schedule_with_warmup
+
+    sched = get_cosine_schedule_with_warmup(opt_t, warmup, total)
+
+    cfg = TrainConfig(
+        learning_rate_vae=lr_vae, warmup_steps=warmup, max_steps=total
+    )
+    tx = make_generator_optimizer(cfg, ch, params)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(1)
+    for step in range(3):
+        x = rng.randn(2, 3, 16, 16).astype(np.float32)
+        # torch side
+        opt_t.zero_grad()
+        _torch_loss(tvae, torch.from_numpy(x)).backward()
+        opt_t.step()
+        sched.step()
+        # jax side
+        grads = jax.grad(
+            lambda p: _jax_loss(jvae, p, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    from vqgan_tpu.train.torch_import import params_to_torch_state_dict
+
+    ours = params_to_torch_state_dict(jax.tree_util.tree_map(np.asarray, params))
+    theirs = {k: p.detach().numpy() for k, p in tvae.named_parameters()}
+    for k in theirs:
+        # atol covers accumulation-order noise amplified by AdamW's rsqrt on
+        # near-zero second moments (observed ≤1.6e-4 over 3 steps)
+        np.testing.assert_allclose(
+            ours[k], theirs[k], rtol=2e-3, atol=5e-4, err_msg=k
+        )
