@@ -241,9 +241,15 @@ class Trainer:
     def evaluate(self, step: int, epoch: int, test_loader) -> None:
         if not self.is_master:
             return
+        # fixed eval set: the reference restarts its test dataloader every
+        # eval, so it always scores the same first 2 batches
+        # (vae_trainer.py:815-861) — cache them once
+        if not hasattr(self, "_eval_batches"):
+            self._eval_batches = [
+                jnp.asarray(next(test_loader)) for _ in range(2)
+            ]
         recons, targets = [], []
-        for _ in range(2):  # 2 test batches (vae_trainer.py:860-861)
-            batch = jnp.asarray(next(test_loader))
+        for batch in self._eval_batches:
             r, t = self._eval_step(self.state.g_params, batch)
             recons.append(np.asarray(r))
             targets.append(np.asarray(t))
