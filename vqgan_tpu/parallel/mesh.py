@@ -86,7 +86,20 @@ def create_mesh(
             f"but {n} device(s) are available"
         )
     axis_names = tuple(shape.keys())
-    dev_array = np.asarray(devices).reshape(tuple(shape.values()))
+    dims = tuple(shape.values())
+    # ICI-topology-aware device ordering: mesh_utils lays the logical mesh out
+    # so neighboring mesh coordinates are ICI neighbors (ring/torus locality
+    # for the collectives XLA inserts). Fall back to a plain reshape off-TPU
+    # or for device subsets.
+    try:
+        from jax.experimental import mesh_utils
+
+        if len(devices) == len(jax.devices()):
+            dev_array = mesh_utils.create_device_mesh(dims, devices=devices)
+        else:
+            dev_array = np.asarray(devices).reshape(dims)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(dims)
     return Mesh(dev_array, axis_names)
 
 
