@@ -39,7 +39,7 @@ def test_eval_step_flip_invariance_identity():
     batch = jax.random.uniform(
         jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1
     )
-    recon, target = step(params, batch)
+    recon, target = step(params, None, batch)
     assert recon.shape == (2, 32, 32, 3)
     assert float(recon.min()) >= 0.0 and float(recon.max()) <= 1.0
     np.testing.assert_allclose(
@@ -54,5 +54,5 @@ def test_eval_step_plain():
     model, params = init_vae_params(vae_cfg, jax.random.PRNGKey(0))
     step = make_eval_step(cfg, vae_cfg, model)
     batch = jnp.zeros((1, 32, 32, 3))
-    recon, target = step(params, batch)
+    recon, target = step(params, None, batch)
     assert np.isfinite(np.asarray(recon)).all()

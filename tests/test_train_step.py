@@ -125,6 +125,49 @@ def test_vq_step():
     assert float(metrics["vq_loss"]) > 0
 
 
+def test_vq_ema_step():
+    """EMA-VQ: counts/sums update each step and the codebook is overwritten
+    from the EMA statistics (no gradient training of the codebook)."""
+    from vqgan_tpu.config import VAEConfig
+    from vqgan_tpu.losses.discriminator import PatchDiscriminator
+    from vqgan_tpu.losses.lpips import LPIPS
+    from vqgan_tpu.models.ae import VAE
+    from vqgan_tpu.train.state import create_train_state
+    from vqgan_tpu.train.step import make_train_step
+
+    vae_cfg = VAEConfig(
+        **TINY_VAE, reg_type="vq", vq_codebook_size=32, vq_ema_decay=0.9
+    )
+    cfg = TrainConfig(batch_size=4, image_size=32, max_steps=10, warmup_steps=2)
+    vae = VAE(cfg=vae_cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = vae.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)}, x0)
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(2), x0, x0)["params"]
+    state, g_tx, d_tx = create_train_state(
+        cfg, variables["params"], None, 32, jax.random.PRNGKey(3),
+        vq_ema=variables["vq_ema"],
+    )
+    jstep = jax.jit(
+        make_train_step(cfg, vae_cfg, vae, PatchDiscriminator(), lpips, g_tx, d_tx),
+        static_argnums=(3,), donate_argnums=(0,),
+    )
+    batch = jax.random.uniform(
+        jax.random.PRNGKey(4), (4, 32, 32, 3), minval=-1.0, maxval=1.0
+    )
+    cb0 = np.asarray(variables["params"]["reg"]["codebook"])
+    counts0 = np.asarray(variables["vq_ema"]["reg"]["counts"])
+    state, metrics = jstep(state, batch, lp, False)
+    assert np.isfinite(float(metrics["vq_loss"]))
+    counts1 = np.asarray(state.vq_ema["reg"]["counts"])
+    assert not np.allclose(counts0, counts1)
+    cb1 = np.asarray(state.g_params["reg"]["codebook"])
+    assert not np.allclose(cb0, cb1)  # EMA folded into the codebook
+    # second step keeps everything finite
+    state, metrics = jstep(state, batch, lp, False)
+    assert np.isfinite(float(metrics["overall_vae_loss"]))
+
+
 def test_sharded_step_on_mesh(eight_devices):
     mesh = create_mesh({"data": 8})
     state, jstep, batch, lp = _setup(batch=8)

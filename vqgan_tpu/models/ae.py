@@ -272,15 +272,21 @@ class VAE(nn.Module):
     def decode(self, z: jax.Array) -> jax.Array:
         return self.decoder(z)
 
-    def regularize(self, z: jax.Array):
-        """Returns z_s for identity/gaussian; (z_q, vq_aux) for VQ."""
+    def regularize(self, z: jax.Array, update_stats: bool = False):
+        """Returns z_s for identity/gaussian; (z_q, vq_aux) for VQ.
+        ``update_stats`` (VQ only) controls EMA statistic writes — pass True
+        in the train step (with the "vq_ema" collection mutable), False for
+        eval applies."""
+        if isinstance(self.reg, VectorQuantizer):
+            return self.reg(z, update_stats)
         return self.reg(z)
 
     def __call__(self, x: jax.Array):
         z = self.encoder(x)
-        z_s = self.reg(z)
-        if isinstance(z_s, tuple):  # VQ returns (z_q, aux)
-            z_s = z_s[0]
+        if isinstance(self.reg, VectorQuantizer):
+            z_s, _ = self.reg(z, update_stats=False)
+        else:
+            z_s = self.reg(z)
         dec = self.decoder(z_s)
         return dec, z
 

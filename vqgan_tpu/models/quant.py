@@ -32,11 +32,15 @@ class VectorQuantizer(nn.Module):
     ema_eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> Tuple[jax.Array, Dict[str, Any]]:
+    def __call__(
+        self, z: jax.Array, update_stats: bool = True
+    ) -> Tuple[jax.Array, Dict[str, Any]]:
         """z: (..., D) → (z_q with STE, aux dict).
 
         When EMA is enabled, updated codebook statistics are exposed in the
-        "vq_ema" mutable collection; the train step applies them functionally.
+        "vq_ema" mutable collection (pass ``update_stats=False`` for eval
+        applies where the collection is immutable); the train step folds them
+        into the codebook functionally (apply_ema_codebook_update).
         """
         d = z.shape[-1]
         assert d == self.embedding_dim, (d, self.embedding_dim)
@@ -59,7 +63,12 @@ class VectorQuantizer(nn.Module):
 
         commitment = jnp.mean(jnp.square(zf - jax.lax.stop_gradient(z_q)))
         codebook_loss = jnp.mean(jnp.square(jax.lax.stop_gradient(zf) - z_q))
-        vq_loss = codebook_loss + self.beta * commitment
+        # with EMA updates the codebook is not trained by gradient — only the
+        # commitment term remains in the loss
+        if self.ema_decay > 0:
+            vq_loss = self.beta * commitment
+        else:
+            vq_loss = codebook_loss + self.beta * commitment
 
         one_hot = jax.nn.one_hot(codes, self.codebook_size, dtype=jnp.float32)
         counts = jnp.sum(one_hot, axis=0)  # (K,)
@@ -74,7 +83,7 @@ class VectorQuantizer(nn.Module):
             ema_sums = self.variable(
                 "vq_ema", "sums", lambda: jnp.array(codebook, jnp.float32)
             )
-            if not self.is_initializing():
+            if not self.is_initializing() and update_stats:
                 new_counts = self.ema_decay * ema_counts.value + (
                     1 - self.ema_decay
                 ) * counts

@@ -24,13 +24,18 @@ def make_eval_step(cfg: TrainConfig, vae_cfg: VAEConfig, vae_model):
     enc_res = vae_cfg.resolution
 
     @jax.jit
-    def eval_step(g_params, batch: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def eval_step(
+        g_params, vq_ema, batch: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        variables = {"params": g_params}
+        if vq_ema is not None:
+            variables["vq_ema"] = vq_ema
         x = resize_area(batch, (enc_res, enc_res))
-        z = vae_model.apply({"params": g_params}, x, method=vae_model.encode)
+        z = vae_model.apply(variables, x, method=vae_model.encode)
         if cfg.do_clamp:
             z = jnp.clip(z, -cfg.clamp_th, cfg.clamp_th)
         z_s = vae_model.apply(
-            {"params": g_params}, z,
+            variables, z,
             method=vae_model.regularize,
             rngs={"sample": jax.random.PRNGKey(0)},
         )

@@ -30,6 +30,7 @@ class TrainState:
     lecam_real: jax.Array
     lecam_fake: jax.Array
     rng: jax.Array
+    vq_ema: Any = None  # EMA codebook statistics (reg_type=vq with EMA)
 
 
 def hf_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int):
@@ -94,6 +95,7 @@ def create_train_state(
     d_params: Optional[Any],
     vae_ch: int,
     rng: jax.Array,
+    vq_ema: Optional[Any] = None,
 ):
     g_tx = make_generator_optimizer(cfg, vae_ch, g_params)
     g_opt = g_tx.init(g_params)
@@ -111,5 +113,6 @@ def create_train_state(
         lecam_real=jnp.zeros((), jnp.float32),
         lecam_fake=jnp.zeros((), jnp.float32),
         rng=rng,
+        vq_ema=vq_ema,
     )
     return state, g_tx, d_tx

@@ -109,19 +109,36 @@ def make_train_step(
     def decode(g_params, z):
         return vae_model.apply({"params": g_params}, z, method=vae_model.decode)
 
-    def regularize(g_params, z, rng):
+    use_vq_ema = vae_cfg.reg_type == "vq" and vae_cfg.vq_ema_decay > 0
+
+    def regularize(g_params, vq_ema, z, rng):
+        """→ (z_s, aux_loss, new_vq_ema or None)."""
+        if use_vq_ema:
+            (z_q, aux), new_vars = vae_model.apply(
+                {"params": g_params, "vq_ema": vq_ema},
+                z,
+                True,  # update_stats
+                method=vae_model.regularize,
+                rngs={"sample": rng},
+                mutable=["vq_ema"],
+            )
+            return (
+                z_q,
+                aux["vq_loss"],
+                jax.lax.stop_gradient(new_vars["vq_ema"]),
+            )
         out = vae_model.apply(
             {"params": g_params}, z,
             method=vae_model.regularize,
             rngs={"sample": rng},
         )
-        if isinstance(out, tuple):  # VQ: (z_q, aux)
-            return out[0], out[1]["vq_loss"]
-        return out, jnp.zeros((), jnp.float32)
+        if isinstance(out, tuple):  # VQ (loss-based): (z_q, aux)
+            return out[0], out[1]["vq_loss"], None
+        return out, jnp.zeros((), jnp.float32), None
 
-    def gen_forward(g_params, batch_hr, rngs, do_crop: bool):
-        """batch (B,S,S,3) → (recon, z, target, aux_loss). Differentiable in
-        g_params; target carries no parameter gradient."""
+    def gen_forward(g_params, vq_ema, batch_hr, rngs, do_crop: bool):
+        """batch (B,S,S,3) → (recon, z, target, aux_loss, z_pre, new_ema).
+        Differentiable in g_params; target carries no parameter gradient."""
         x_enc = resize_area(batch_hr, (enc_res, enc_res))
         target = resize_area(batch_hr, (tgt_res, tgt_res))
         # always-on random horizontal flip of inputs (vae_trainer.py:534-536)
@@ -132,7 +149,7 @@ def make_train_step(
         z_pre = jax.lax.stop_gradient(z)
         if cfg.do_clamp:  # vae_trainer.py:561-562
             z = jnp.clip(z, -cfg.clamp_th, cfg.clamp_th)
-        z_s, aux_loss = regularize(g_params, z, rngs["sample"])
+        z_s, aux_loss, new_ema = regularize(g_params, vq_ema, z, rngs["sample"])
 
         if cfg.flip_invariance:  # vae_trainer.py:567-575
             c = z_s.shape[-1]
@@ -157,7 +174,7 @@ def make_train_step(
             )
 
         recon = decode(g_params, z_s)
-        return recon, z, target, aux_loss, z_pre
+        return recon, z, target, aux_loss, z_pre, new_ema
 
     def disc_apply(d_params, x):
         return disc_model.apply({"params": d_params}, x)
@@ -232,8 +249,9 @@ def make_train_step(
         }
 
         # --- shared generator forward (one fwd, one bwd total) ---
-        (recon, z, target, aux_loss, z_pre), gen_vjp = jax.vjp(
-            lambda p: gen_forward(p, batch, rngs, do_crop), state.g_params
+        (recon, z, target, aux_loss, z_pre, new_ema), gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, state.vq_ema, batch, rngs, do_crop),
+            state.g_params,
         )
         metrics = _z_statistics(z_pre)
 
@@ -294,11 +312,31 @@ def make_train_step(
         )
         d_recon, d_z, d_aux = g_pullback(jnp.ones((), g_total.dtype))
         (g_grads,) = gen_vjp(
-            (d_recon, d_z, jnp.zeros_like(target), d_aux, jnp.zeros_like(z_pre))
+            (
+                d_recon,
+                d_z,
+                jnp.zeros_like(target),
+                d_aux,
+                jnp.zeros_like(z_pre),
+                jax.tree_util.tree_map(jnp.zeros_like, new_ema),
+            )
         )
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         metrics.update(g_metrics)
+
+        if use_vq_ema:
+            # fold the EMA statistics into the codebook (overwrites whatever
+            # adam did to it — the codebook receives no gradient in EMA mode)
+            from vqgan_tpu.models.quant import apply_ema_codebook_update
+
+            new_cb = apply_ema_codebook_update(
+                {"codebook": g_params["reg"]["codebook"]}, new_ema["reg"]
+            )["codebook"]
+            g_params = {
+                **g_params,
+                "reg": {**g_params["reg"], "codebook": new_cb},
+            }
 
         new_state = TrainState(
             step=state.step + 1,
@@ -309,6 +347,7 @@ def make_train_step(
             lecam_real=lecam_real,
             lecam_fake=lecam_fake,
             rng=new_rng,
+            vq_ema=new_ema,
         )
         return new_state, metrics
 

@@ -62,9 +62,11 @@ class Trainer:
         # models + params
         self.vae = VAE(cfg=vae_cfg)
         x0 = jnp.zeros((1, vae_cfg.resolution, vae_cfg.resolution, 3))
-        g_params = self.vae.init(
+        variables = self.vae.init(
             {"params": k_g, "sample": jax.random.fold_in(k_g, 1)}, x0
-        )["params"]
+        )
+        g_params = variables["params"]
+        vq_ema = variables.get("vq_ema")  # present for reg_type=vq with EMA
         if cfg.load_path:
             loaded = load_weights(cfg.load_path)
             g_params = jax.tree_util.tree_map(
@@ -89,7 +91,7 @@ class Trainer:
         )
 
         self.state, self.g_tx, self.d_tx = create_train_state(
-            cfg, g_params, d_params, vae_cfg.ch, k_state
+            cfg, g_params, d_params, vae_cfg.ch, k_state, vq_ema=vq_ema
         )
 
         # placement: params/state replicated (or sharded per rules), batch on data
@@ -250,7 +252,7 @@ class Trainer:
             ]
         recons, targets = [], []
         for batch in self._eval_batches:
-            r, t = self._eval_step(self.state.g_params, batch)
+            r, t = self._eval_step(self.state.g_params, self.state.vq_ema, batch)
             recons.append(np.asarray(r))
             targets.append(np.asarray(t))
         recon = np.concatenate(recons)
