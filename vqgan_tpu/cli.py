@@ -88,6 +88,7 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of steps 10-15 here")
 @click.option("--seed", type=int, default=42, help="Seed (reference seeds everything to 42)")
 @click.option("--log_every", type=int, default=5, help="Metric logging cadence in steps (reference logs every 5)")
+@click.option("--eval_batches", type=int, default=2, help="Test batches per eval (reference: 2); raise for tighter rFID")
 def train(**kw):
     """Train the 2D image VAE (optionally GAN) — TPU-native train_ddp."""
     vae_cfg = VAEConfig(
@@ -137,6 +138,7 @@ def train(**kw):
         ckpt_dir=kw["ckpt_dir"],
         seed=kw["seed"],
         log_every=kw["log_every"],
+        eval_batches=kw["eval_batches"],
         use_wandb=kw["use_wandb"],
         mesh_shape=kw["mesh_shape"],
         full_bf16=kw["full_bf16"],
@@ -186,6 +188,7 @@ def train3d(**kw):
         mesh_shape=kw["mesh_shape"],
         use_wandb=kw["use_wandb"],
         log_every=kw["log_every"],
+        eval_batches=kw["eval_batches"],
         seed=kw["seed"],
     )
     Trainer3D(cfg, tvae_cfg, frames=kw["frames"]).train()

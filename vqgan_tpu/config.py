@@ -152,6 +152,8 @@ class TrainConfig:
     run_name: str = "run"
     project_name: str = "vae_sweep_attn_lr_width"
     evaluate_every_n_steps: int = 250
+    eval_batches: int = 2  # reference scores exactly 2 test batches (:860)
+    # larger values tighten eval/lpips and especially the Fréchet rFID proxy
     load_path: Optional[str] = None
     ckpt_dir: str = "./ckpt"
     seed: int = 42

@@ -248,7 +248,8 @@ class Trainer:
         # (vae_trainer.py:815-861) — cache them once
         if not hasattr(self, "_eval_batches"):
             self._eval_batches = [
-                jnp.asarray(next(test_loader)) for _ in range(2)
+                jnp.asarray(next(test_loader))
+                for _ in range(self.cfg.eval_batches)
             ]
         recons, targets = [], []
         for batch in self._eval_batches:
