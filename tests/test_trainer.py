@@ -49,6 +49,34 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.isdir(run_dir / "orbax")
 
 
+def test_trainer_preemption_checkpoint(tmp_path):
+    """A preemption signal mid-training saves the full state and exits."""
+    cfg = TrainConfig(
+        synthetic_data=True,
+        batch_size=8,
+        image_size=32,
+        max_steps=100,
+        num_epochs=1,
+        evaluate_every_n_steps=0,
+        use_wandb=False,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        run_name="p",
+        log_every=1000,
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))
+    orig = trainer._install_preemption_handler
+
+    def install_and_trip():
+        orig()
+        trainer._preempted = True  # simulate SIGTERM arriving immediately
+
+    trainer._install_preemption_handler = install_and_trip
+    trainer.train()
+    # did not run to max_steps; full state checkpoint exists
+    assert trainer.ckpt.latest_step() is not None
+    assert int(trainer.state.step) < 100
+
+
 def test_trainer_resume_weights(tmp_path):
     cfg = TrainConfig(
         synthetic_data=True,

@@ -159,8 +159,26 @@ class Trainer:
         return max(1, per_host)
 
     # ------------------------------------------------------------------
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT → checkpoint the full train state before exiting
+        (preemption-aware save for TPU maintenance events; the reference
+        loses optimizer state on any interruption, SURVEY.md §5)."""
+        import signal
+
+        self._preempted = False
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # not in the main thread
+                pass
+
     def train(self) -> None:
         cfg = self.cfg
+        self._install_preemption_handler()
         loader = device_prefetch(self._make_loader(True), self.batch_shard)
         test_loader = self._make_loader(False)
         global_step = int(self.state.step)
@@ -172,6 +190,13 @@ class Trainer:
             for batch in loader:
                 if global_step >= cfg.max_steps:
                     break
+                if self._preempted:
+                    self.logger.info(
+                        f"Preemption signal received — checkpointing at step {global_step}"
+                    )
+                    self.save(global_step, epoch)
+                    self.ckpt.wait()
+                    return
                 time_taken_till_load = time.time() - t0
                 t0 = time.time()
 
