@@ -136,7 +136,8 @@ def test_vq_ema_step():
     from vqgan_tpu.train.step import make_train_step
 
     vae_cfg = VAEConfig(
-        **TINY_VAE, reg_type="vq", vq_codebook_size=32, vq_ema_decay=0.9
+        **TINY_VAE, reg_type="vq", vq_codebook_size=32, vq_ema_decay=0.9,
+        vq_revive_threshold=0.5,
     )
     cfg = TrainConfig(batch_size=4, image_size=32, max_steps=10, warmup_steps=2)
     vae = VAE(cfg=vae_cfg)

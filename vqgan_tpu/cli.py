@@ -75,6 +75,7 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--do_pool_recon", type=bool, default=True, help="True: pooled L1 recon; False: blurriness-heatmap-masked L1")
 @click.option("--reg_type", type=str, default="identity_gaussian", help="Latent regularizer: identity_gaussian | gaussian | vq")
 @click.option("--vq_codebook_size", type=int, default=16384, help="VQ codebook size (reg_type=vq)")
+@click.option("--vq_revive_threshold", type=float, default=0.0, help="Reseed codes with EMA count below this from batch samples (0=off)")
 @click.option("--mesh_shape", type=str, default="data=-1", help="Device mesh, e.g. data=4,fsdp=2,tensor=1")
 @click.option("--remat", type=bool, default=False, help="Activation rematerialization (fit large configs in HBM)")
 @click.option("--use_pallas_gn", type=bool, default=False, help="Use the Pallas fused GroupNorm+swish kernel")
@@ -104,6 +105,7 @@ def train(**kw):
         use_wavelet=kw["use_wavelet"],
         reg_type=kw["reg_type"],
         vq_codebook_size=kw["vq_codebook_size"],
+        vq_revive_threshold=kw["vq_revive_threshold"],
         remat=kw["remat"],
         use_pallas_gn=kw["use_pallas_gn"],
     )

@@ -49,6 +49,10 @@ class VAEConfig:
     vq_codebook_size: int = 16384
     vq_beta: float = 0.25
     vq_ema_decay: float = 0.99  # 0 disables EMA codebook updates
+    # dead-code revival: codes with EMA count below this are reseeded from
+    # the current batch's encoder outputs each step (0 disables) — keeps
+    # large codebooks utilized (PAPERS.md, 99%-utilization result)
+    vq_revive_threshold: float = 0.0
     # dtype policy: the reference runs the encoder in fp32 (outside autocast,
     # vae_trainer.py:538) and the decoder in bf16 (vae_trainer.py:623);
     # GroupNorm always reduces in fp32 (ae.py:41-53).

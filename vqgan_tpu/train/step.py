@@ -328,11 +328,24 @@ def make_train_step(
         if use_vq_ema:
             # fold the EMA statistics into the codebook (overwrites whatever
             # adam did to it — the codebook receives no gradient in EMA mode)
-            from vqgan_tpu.models.quant import apply_ema_codebook_update
+            from vqgan_tpu.models.quant import (
+                apply_ema_codebook_update,
+                revive_dead_codes,
+            )
 
             new_cb = apply_ema_codebook_update(
                 {"codebook": g_params["reg"]["codebook"]}, new_ema["reg"]
             )["codebook"]
+            if vae_cfg.vq_revive_threshold > 0:
+                flat_z = jax.lax.stop_gradient(z).astype(jnp.float32)
+                flat_z = flat_z.reshape(-1, flat_z.shape[-1])
+                new_cb = revive_dead_codes(
+                    new_cb,
+                    new_ema["reg"]["counts"],
+                    flat_z,
+                    keys[7],
+                    threshold=vae_cfg.vq_revive_threshold,
+                )
             g_params = {
                 **g_params,
                 "reg": {**g_params["reg"], "codebook": new_cb},
