@@ -166,6 +166,7 @@ def train(**kw):
 @click.option("--mesh_shape", type=str, default="data=-1")
 @click.option("--use_wandb", type=bool, default=True)
 @click.option("--log_every", type=int, default=5)
+@click.option("--eval_batches", type=int, default=2)
 @click.option("--seed", type=int, default=42)
 def train3d(**kw):
     """Train the 3D video VAE (TVAE, reference tae.py) on synthetic clips —
