@@ -114,3 +114,42 @@ def test_trainer_resume_weights(tmp_path):
     b = jax.tree_util.tree_leaves(t2.state.g_params)
     deltas = [float(np.abs(np.asarray(x) - np.asarray(y)).max()) for x, y in zip(a, b)]
     assert max(deltas) < 1e-6
+
+
+def test_trainer_nan_guard_halts_without_checkpoint(tmp_path):
+    """A NaN loss must halt training BEFORE the next checkpoint, leaving the
+    last good checkpoint untouched (VERDICT r1 #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.train.trainer import DivergenceError
+
+    cfg = TrainConfig(
+        synthetic_data=True,
+        batch_size=8,
+        image_size=32,
+        max_steps=50,
+        num_epochs=1,
+        evaluate_every_n_steps=3,
+        use_wandb=False,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        run_name="n",
+        log_every=1,
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))
+    real_step = trainer._step
+
+    def poisoned_step(state, batch, lpips_params, do_crop):
+        state, metrics = real_step(state, batch, lpips_params, do_crop)
+        if int(jax.device_get(state.step)) >= 2:
+            metrics = dict(metrics)
+            metrics["overall_vae_loss"] = jnp.float32(jnp.nan)
+        return state, metrics
+
+    trainer._step = poisoned_step
+    with pytest.raises(DivergenceError):
+        trainer.train()
+    # nothing checkpointed after the poisoned step (step 2 hits before the
+    # first eval cadence at global_step 4)
+    latest = trainer.ckpt.latest_step()
+    assert latest is None or latest < 2, latest

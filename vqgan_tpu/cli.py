@@ -90,6 +90,7 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--seed", type=int, default=42, help="Seed (reference seeds everything to 42)")
 @click.option("--log_every", type=int, default=5, help="Metric logging cadence in steps (reference logs every 5)")
 @click.option("--eval_batches", type=int, default=2, help="Test batches per eval (reference: 2); raise for tighter rFID")
+@click.option("--nan_guard", type=bool, default=True, help="Halt (without checkpointing) on non-finite loss")
 def train(**kw):
     """Train the 2D image VAE (optionally GAN) — TPU-native train_ddp."""
     vae_cfg = VAEConfig(
@@ -141,6 +142,7 @@ def train(**kw):
         seed=kw["seed"],
         log_every=kw["log_every"],
         eval_batches=kw["eval_batches"],
+        nan_guard=kw["nan_guard"],
         use_wandb=kw["use_wandb"],
         mesh_shape=kw["mesh_shape"],
         full_bf16=kw["full_bf16"],

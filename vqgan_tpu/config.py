@@ -164,6 +164,11 @@ class TrainConfig:
     log_every: int = 5  # vae_trainer.py:713
     use_wandb: bool = True  # falls back to JSONL logger when wandb is absent
 
+    # NaN/divergence sanitizer (SURVEY.md §5): verified on every metric fetch
+    # and immediately before every checkpoint, halting instead of silently
+    # checkpointing over the last good state
+    nan_guard: bool = True
+
     # TPU/mesh
     mesh_shape: str = "data=-1"  # e.g. "data=4,fsdp=2" ; -1 = fill devices
     full_bf16: bool = False  # run encoder in bf16 too (perf mode)

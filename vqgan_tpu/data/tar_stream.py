@@ -122,6 +122,10 @@ class TarImageStream:
         self.batch_size = batch_size
         self.num_workers = max(1, min(num_workers, len(self.shards) or 1))
         self.shuffle_buffer = shuffle_buffer if do_shuffle else 0
+        # webdataset's shuffle(bufsize=1000) starts yielding once `initial`
+        # samples are buffered, then grows the buffer toward bufsize while
+        # streaming (vae_trainer.py:123 contract)
+        self.shuffle_initial = min(100, self.shuffle_buffer)
         self.do_shuffle = do_shuffle
         self.seed = seed
         self.loop = loop
@@ -185,10 +189,15 @@ class TarImageStream:
                 continue
             if self.shuffle_buffer > 0:
                 buf.append(sample)
-                if len(buf) < min(
-                    self.shuffle_buffer, self.batch_size * 2
-                ):
-                    continue
+                if len(buf) < self.shuffle_buffer:
+                    if len(buf) < self.shuffle_initial:
+                        continue  # initial fill before the first yield
+                    # grow toward the full buffer without stalling the
+                    # consumer: opportunistically take one extra sample
+                    try:
+                        buf.append(self._q.get_nowait())
+                    except queue.Empty:
+                        pass
                 idx = int(rng.integers(len(buf)))
                 buf[idx], buf[-1] = buf[-1], buf[idx]
                 sample = buf.pop()
@@ -196,9 +205,11 @@ class TarImageStream:
             if len(batch) == self.batch_size:
                 yield np.stack(batch)
                 batch = []
-        # drain remaining buffered samples into final batches
-        for sample in buf:
-            batch.append(sample)
+        # drain remaining buffered samples (in random order) into final batches
+        while buf:
+            idx = int(rng.integers(len(buf)))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            batch.append(buf.pop())
             if len(batch) == self.batch_size:
                 yield np.stack(batch)
                 batch = []

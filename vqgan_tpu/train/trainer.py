@@ -33,6 +33,12 @@ from vqgan_tpu.train.step import make_train_step
 from vqgan_tpu.utils.logging import MetricLogger
 
 
+class DivergenceError(RuntimeError):
+    """Raised by the NaN guard: training produced a non-finite loss. The
+    trainer halts *before* the next checkpoint so the last saved state is
+    the last known-good one (VERDICT r1 #8; SURVEY.md §5 sanitizers)."""
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig, vae_cfg: VAEConfig):
         self.cfg = cfg
@@ -221,6 +227,8 @@ class Trainer:
                     metrics = {
                         k: float(v) for k, v in jax.device_get(metrics_device).items()
                     }
+                    if cfg.nan_guard:
+                        self._guard_finite(metrics, global_step)
                 time_taken_till_step = time.time() - t0
 
                 if log_now and self.is_master:
@@ -256,6 +264,16 @@ class Trainer:
                     cfg.evaluate_every_n_steps > 0
                     and global_step % cfg.evaluate_every_n_steps == 1
                 ):
+                    if cfg.nan_guard:
+                        # last line of defense before overwriting checkpoints:
+                        # host-fetch this step's loss even off the log cadence
+                        self._guard_finite(
+                            {
+                                k: float(v)
+                                for k, v in jax.device_get(metrics_device).items()
+                            },
+                            global_step,
+                        )
                     self.evaluate(global_step, epoch, test_loader)
                     self.save(global_step, epoch)
             if global_step >= cfg.max_steps:
@@ -263,6 +281,20 @@ class Trainer:
         self.save(global_step, None)
         self.ckpt.wait()
         self.logger.close()
+
+    # ------------------------------------------------------------------
+    def _guard_finite(self, metrics: dict, step: int) -> None:
+        bad = {
+            k: v
+            for k, v in metrics.items()
+            if isinstance(v, float) and not np.isfinite(v)
+        }
+        if bad:
+            self.logger.info(
+                f"NaN guard tripped at step {step}: {bad} — halting without "
+                f"checkpointing (last saved state remains the last good one)"
+            )
+            raise DivergenceError(f"non-finite metrics at step {step}: {bad}")
 
     # ------------------------------------------------------------------
     def evaluate(self, step: int, epoch: int, test_loader) -> None:
