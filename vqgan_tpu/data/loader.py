@@ -62,12 +62,24 @@ def create_dataloader(
 def device_prefetch(
     iterator: Iterator[np.ndarray], sharding=None, depth: int = 2
 ):
-    """Asynchronously stage ``depth`` batches onto device ahead of compute."""
+    """Asynchronously stage ``depth`` batches onto device ahead of compute.
+
+    Each host feeds its *process-local* slice of the global batch (the
+    ``wds.split_by_node`` contract, reference vae_trainer.py:121), so the
+    device arrays are assembled with
+    ``jax.make_array_from_process_local_data``: on one host this equals a
+    sharded ``device_put``; on a pod it stitches the per-host arrays into one
+    global jax.Array of shape ``(local_batch * process_count, ...)`` without
+    any cross-host transfer. A plain ``device_put(local, global_sharding)``
+    would misinterpret the local array as the global one on multi-host.
+    """
     buf = collections.deque()
 
     def put(batch):
         if sharding is not None:
-            return jax.device_put(batch, sharding)
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(batch)
+            )
         return jax.device_put(batch)
 
     for batch in iterator:

@@ -25,6 +25,7 @@ from vqgan_tpu.parallel.mesh import (
     create_mesh,
     init_distributed,
     replicated,
+    state_shardings,
 )
 from vqgan_tpu.train.checkpoint import CheckpointManager, load_weights, save_weights_torch
 from vqgan_tpu.train.evaluate import make_eval_step, tile_grid
@@ -100,10 +101,22 @@ class Trainer:
             cfg, g_params, d_params, vae_cfg.ch, k_state, vq_ema=vq_ema
         )
 
-        # placement: params/state replicated (or sharded per rules), batch on data
+        # placement: batch sharded over the data-like axes; the train state
+        # (params + optimizer moments, same shapes) follows the fsdp/tensor
+        # param rules when those mesh axes have extent > 1, otherwise fully
+        # replicated — pure data parallelism, the reference's mode
+        # (vae_trainer.py:391-397)
         self.batch_shard = batch_sharding(self.mesh)
         self.repl = replicated(self.mesh)
-        self.state = jax.device_put(self.state, self.repl)
+        self._model_sharded = any(
+            self.mesh.shape.get(ax, 1) > 1 for ax in ("fsdp", "tensor")
+        )
+        self.state_shard = (
+            state_shardings(self.state, self.mesh)
+            if self._model_sharded
+            else self.repl
+        )
+        self.state = jax.device_put(self.state, self.state_shard)
         self.lpips_params = jax.device_put(self.lpips_params, self.repl)
 
         raw_step = make_train_step(
@@ -132,7 +145,7 @@ class Trainer:
         if not cfg.load_path and self.ckpt.latest_step() is not None:
             restored = self.ckpt.restore(jax.device_get(self.state))
             if restored is not None:
-                self.state = jax.device_put(restored, self.repl)
+                self.state = jax.device_put(restored, self.state_shard)
                 self.logger.info(
                     f"Resumed full train state from step {int(self.state.step)}"
                 )
