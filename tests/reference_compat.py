@@ -49,3 +49,45 @@ def import_reference_module(name: str):
     import importlib
 
     return importlib.import_module(name)
+
+
+def make_fake_torchvision_vgg16(seed: int = 0):
+    """A torch module with the exact torchvision vgg16 ``.features`` layout
+    (31 entries, convs at indices 0,2,5,7,10,12,14,17,19,21,24,26,28) but
+    RANDOM weights. Installing this as torchvision.models.vgg16 lets the
+    reference LPIPS / PatchDiscriminator instantiate without the pretrained
+    download — weight-file-free numerical parity testing (VERDICT r1 #5)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    layout = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M")
+    layers, in_ch = [], 3
+    for item in layout:
+        if item == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_ch, item, 3, padding=1))
+            layers.append(nn.ReLU(inplace=True))
+            in_ch = item
+
+    class FakeVGG16(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+
+    def factory(*args, **kwargs):
+        return FakeVGG16()
+
+    return factory
+
+
+def install_random_vgg16(seed: int = 0):
+    """Point the stubbed torchvision.models.vgg16 at the random-weight
+    factory (instead of raising). Returns the factory for direct use."""
+    _install_stubs()
+    factory = make_fake_torchvision_vgg16(seed)
+    sys.modules["torchvision.models"].vgg16 = factory
+    sys.modules["torchvision"].models.vgg16 = factory
+    return factory

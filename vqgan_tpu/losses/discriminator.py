@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vqgan_tpu.losses.vgg import ScalingLayer, VGG16Features
+from vqgan_tpu.losses.vgg import ScalingLayer, VGG16Features, convert_torch_vgg16
 from vqgan_tpu.models.blocks import torch_conv_kernel_init
 
 Dtype = Any
@@ -101,3 +101,38 @@ def init_discriminator_params(
     model = PatchDiscriminator(dtype=dtype)
     x = jnp.zeros((1, image_size, image_size, 3))
     return model, model.init(rng, x)["params"]
+
+
+# (our head conv name) ← (reference Sequential index, utils.py:156-185)
+_HEAD_KEY_MAP = {
+    "bc1_conv0": "binary_classifier1.0",
+    "bc1_conv1": "binary_classifier1.2",
+    "bc2_conv0": "binary_classifier2.0",
+    "bc2_conv1": "binary_classifier2.2",
+    "bc3_conv0": "binary_classifier3.0",
+    "bc3_conv1": "binary_classifier3.2",
+    "bc4_conv0": "binary_classifier4.0",
+    "bc5_conv0": "binary_classifier5.0",
+}
+
+
+def convert_torch_patch_discriminator(state_dict: dict) -> dict:
+    """Convert a reference ``PatchDiscriminator`` state_dict
+    (utils.py:143-203: VGG backbone under slice{n}.0.{idx}, five
+    binary_classifier heads) into this module's params. Kernels OIHW→HWIO."""
+    import numpy as np
+
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    params: dict = {"vgg": convert_torch_vgg16(state_dict)}
+    for ours, theirs in _HEAD_KEY_MAP.items():
+        w = state_dict.get(f"{theirs}.weight")
+        b = state_dict.get(f"{theirs}.bias")
+        if w is None or b is None:
+            raise KeyError(f"missing discriminator head {theirs}")
+        params[ours] = {
+            "kernel": to_np(w).transpose(2, 3, 1, 0),
+            "bias": to_np(b),
+        }
+    return params

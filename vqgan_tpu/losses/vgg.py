@@ -91,8 +91,15 @@ def convert_torch_vgg16(state_dict: dict) -> dict:
                 kk = kk[len(prefix):]
         if kk.startswith("slice"):
             # reference vgg16 wrapper: slice{n}.{idx}.weight keeps torchvision
-            # indices (utils.py:102-111)
-            kk = "features." + kk.split(".", 1)[1]
+            # indices (utils.py:102-111); the PatchDiscriminator wraps each
+            # slice in one more Sequential, giving slice{n}.0.{idx}.weight
+            # (utils.py:150-154)
+            rest = kk.split(".", 1)[1]
+            parts = rest.split(".")
+            # disc form has an extra Sequential level: slice{n}.0.{idx}.{w|b}
+            if len(parts) == 3 and parts[0] == "0":
+                rest = ".".join(parts[1:])
+            kk = "features." + rest
         norm[kk] = v
     params = {}
     for j, idx in enumerate(TORCHVISION_CONV_INDICES):
