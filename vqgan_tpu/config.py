@@ -148,15 +148,21 @@ class TrainConfig:
     crop_invariance: bool = False
     downscale_factor: int = 16
     # jit-friendly redesign of the reference's random-size latent crop
-    # (vae_trainer.py:577-621): a single static crop size (fraction of the
-    # latent side), random offsets traced per step.
-    crop_fraction: float = 0.75
+    # (vae_trainer.py:577-621): a small set of static crop sizes (fractions
+    # of the latent side) — one compiled step variant per bucket, selected
+    # host-side — with random offsets traced per step. Buckets approximate
+    # the reference's random-size distribution without dynamic shapes.
+    crop_fractions: Tuple[float, ...] = (0.5, 0.75, 0.875)
 
     # run management
     run_name: str = "run"
     project_name: str = "vae_sweep_attn_lr_width"
     evaluate_every_n_steps: int = 250
     eval_batches: int = 2  # reference scores exactly 2 test batches (:860)
+    # the reference evaluates under bf16 autocast (encoder AND decoder,
+    # vae_trainer.py:821,841) even when training the encoder in fp32 —
+    # matched by default; set False to evaluate in the training dtypes
+    eval_bf16: bool = True
     # larger values tighten eval/lpips and especially the Fréchet rFID proxy
     load_path: Optional[str] = None
     ckpt_dir: str = "./ckpt"

@@ -22,6 +22,17 @@ from vqgan_tpu.ops.resize import resize_area
 
 def make_eval_step(cfg: TrainConfig, vae_cfg: VAEConfig, vae_model):
     enc_res = vae_cfg.resolution
+    if cfg.eval_bf16:
+        # dtype parity with the reference's bf16-autocast eval
+        # (vae_trainer.py:821,841): rebuild the module with bf16 compute for
+        # both encoder and decoder (params unchanged; GroupNorm stays fp32)
+        import dataclasses
+
+        vae_model = type(vae_model)(
+            cfg=dataclasses.replace(
+                vae_cfg, enc_dtype="bfloat16", dec_dtype="bfloat16"
+            )
+        )
 
     @jax.jit
     def eval_step(

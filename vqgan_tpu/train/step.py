@@ -136,9 +136,10 @@ def make_train_step(
             return out[0], out[1]["vq_loss"], None
         return out, jnp.zeros((), jnp.float32), None
 
-    def gen_forward(g_params, vq_ema, batch_hr, rngs, do_crop: bool):
+    def gen_forward(g_params, vq_ema, batch_hr, rngs, do_crop: int):
         """batch (B,S,S,3) → (recon, z, target, aux_loss, z_pre, new_ema).
-        Differentiable in g_params; target carries no parameter gradient."""
+        Differentiable in g_params; target carries no parameter gradient.
+        ``do_crop``: 0/False = no crop; k >= 1 = crop bucket k (static)."""
         x_enc = resize_area(batch_hr, (enc_res, enc_res))
         target = resize_area(batch_hr, (tgt_res, tgt_res))
         # always-on random horizontal flip of inputs (vae_trainer.py:534-536)
@@ -157,10 +158,15 @@ def make_train_step(
             z_s, target = _latent_flip(rngs["flip_h"], z_s, target, 1, -2, c)
 
         if do_crop:
-            # static crop size, traced offsets (redesign of :577-621)
+            # static bucketed crop size, traced offsets (redesign of
+            # :577-621): do_crop is a 1-based bucket index into
+            # cfg.crop_fractions (True == 1 keeps the boolean API working)
+            frac = cfg.crop_fractions[
+                min(int(do_crop), len(cfg.crop_fractions)) - 1
+            ]
             zh, zw = z_s.shape[1], z_s.shape[2]
-            ch = max(1, int(round(cfg.crop_fraction * zh)))
-            cw = max(1, int(round(cfg.crop_fraction * zw)))
+            ch = max(1, int(round(frac * zh)))
+            cw = max(1, int(round(frac * zw)))
             koff_h, koff_w = jax.random.split(rngs["crop"])
             off_h = jax.random.randint(koff_h, (), 0, zh - ch + 1)
             off_w = jax.random.randint(koff_w, (), 0, zw - cw + 1)
@@ -234,7 +240,7 @@ def make_train_step(
         state: TrainState,
         batch: jax.Array,
         lpips_params,
-        do_crop: bool,
+        do_crop: int,  # static: 0 = no crop, k >= 1 = crop bucket k
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, new_rng = jax.random.split(state.rng)
         keys = jax.random.split(rng, 8)

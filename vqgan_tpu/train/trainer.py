@@ -223,9 +223,13 @@ class Trainer:
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling = True
 
-                do_crop = bool(
-                    cfg.crop_invariance and self._np_rng.random() < 0.5
-                )
+                # 50/50 crop step (reference :577), uniform over the static
+                # crop-size buckets (approximating its random crop sizes)
+                do_crop = 0
+                if cfg.crop_invariance and self._np_rng.random() < 0.5:
+                    do_crop = 1 + int(
+                        self._np_rng.integers(len(cfg.crop_fractions))
+                    )
                 self.state, metrics_device = self._step(
                     self.state, batch, self.lpips_params, do_crop
                 )
