@@ -35,10 +35,45 @@ def _install_stubs():
         models.vgg16 = _no_vgg
         tv.models = models
         transforms = types.ModuleType("torchvision.transforms")
+
+        class _AnyTransform:
+            """Placeholder transform class: vae_trainer.py instantiates
+            Compose/ToTensor/Normalize/... at module scope (:95-101); parity
+            tests never run the data path, so construction is enough."""
+
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        def _transforms_getattr(name):  # PEP 562
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return _AnyTransform
+
+        transforms.__getattr__ = _transforms_getattr
         tv.transforms = transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = models
         sys.modules["torchvision.transforms"] = transforms
+    # wandb / webdataset: imported at vae_trainer.py module scope (:13,21),
+    # used only inside train_ddp/create_dataloader which parity tests never
+    # call
+    for name in ("wandb", "webdataset"):
+        if name not in sys.modules:
+            import importlib.machinery
+
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+
+            def _stub_getattr(attr):
+                if attr.startswith("__"):
+                    raise AttributeError(attr)
+                return lambda *a, **k: None
+
+            mod.__getattr__ = _stub_getattr
+            sys.modules[name] = mod
 
 
 def import_reference_module(name: str):
@@ -60,21 +95,34 @@ def make_fake_torchvision_vgg16(seed: int = 0):
     import torch
     import torch.nn as nn
 
-    torch.manual_seed(seed)
     layout = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
               512, 512, 512, "M", 512, 512, 512, "M")
-    layers, in_ch = [], 3
-    for item in layout:
-        if item == "M":
-            layers.append(nn.MaxPool2d(2, 2))
-        else:
-            layers.append(nn.Conv2d(in_ch, item, 3, padding=1))
-            layers.append(nn.ReLU(inplace=True))
-            in_ch = item
 
     class FakeVGG16(nn.Module):
         def __init__(self):
             super().__init__()
+            # fresh (independent) layer objects per call, identical weights —
+            # torchvision semantics: every vgg16() call returns a NEW module
+            # loaded with the same pretrained weights. Sharing layer objects
+            # between calls would alias the LPIPS backbone with the trainable
+            # discriminator backbone.
+            gen = torch.Generator().manual_seed(seed)
+            layers, in_ch = [], 3
+            for item in layout:
+                if item == "M":
+                    layers.append(nn.MaxPool2d(2, 2))
+                else:
+                    conv = nn.Conv2d(in_ch, item, 3, padding=1)
+                    with torch.no_grad():
+                        conv.weight.copy_(
+                            torch.randn(conv.weight.shape, generator=gen) * 0.05
+                        )
+                        conv.bias.copy_(
+                            torch.randn(conv.bias.shape, generator=gen) * 0.01
+                        )
+                    layers.append(conv)
+                    layers.append(nn.ReLU(inplace=True))
+                    in_ch = item
             self.features = nn.Sequential(*layers)
 
     def factory(*args, **kwargs):
