@@ -50,7 +50,7 @@ def _symmetric_batch(rng, b=2):
     return np.concatenate([half, half[..., ::-1]], axis=-1)
 
 
-def _torch_side(batches, monkeypatch, tmp_path):
+def _torch_side(batches, monkeypatch, tmp_path, disc_type="bce"):
     install_random_vgg16(seed=0)
     monkeypatch.chdir(tmp_path)
     torch.save({}, "vgg.pth")
@@ -105,7 +105,9 @@ def _torch_side(batches, monkeypatch, tmp_path):
 
         real_preds = disc(xt)
         fake_preds = disc(recon.detach())
-        d_loss, _, _, disc_acc = vt.gan_disc_loss(real_preds, fake_preds, "bce")
+        d_loss, _, _, disc_acc = vt.gan_disc_loss(
+            real_preds, fake_preds, disc_type
+        )
         opt_d.zero_grad()
         d_loss.mean().backward()
         opt_d.step()
@@ -116,9 +118,12 @@ def _torch_side(batches, monkeypatch, tmp_path):
         vae_loss, _ = vt.vae_loss_function(xt, recon_mse, z)
         recon_gan = vt.gradnorm(recon, weight=1.0)
         fake2 = disc(recon_gan)  # sees the UPDATED discriminator (:659,684)
-        g_gan = torch.nn.functional.binary_cross_entropy_with_logits(
-            fake2, torch.ones_like(fake2)
-        )
+        if disc_type == "bce":  # vae_trainer.py:688-693
+            g_gan = torch.nn.functional.binary_cross_entropy_with_logits(
+                fake2, torch.ones_like(fake2)
+            )
+        else:
+            g_gan = -fake2.mean()
         total = percep + g_gan + vae_loss
         opt_g.zero_grad()
         total.backward()
@@ -135,13 +140,13 @@ def _torch_side(batches, monkeypatch, tmp_path):
     return curves, init_sd
 
 
-def _jax_side(batches, init_sd):
+def _jax_side(batches, init_sd, disc_type="bce"):
     vae_cfg = VAEConfig(
         resolution=RES, ch=CH, ch_mult=(1, 2), num_res_blocks=1,
         z_channels=ZC, enc_dtype="float32", dec_dtype="float32",
     )
     cfg = TrainConfig(
-        batch_size=2, image_size=RES, do_ganloss=True, disc_type="bce",
+        batch_size=2, image_size=RES, do_ganloss=True, disc_type=disc_type,
         use_lecam=False, do_clamp=True, clamp_th=8.0,
         learning_rate_vae=LR_VAE, learning_rate_disc=LR_DISC,
         warmup_steps=WARMUP, max_steps=TOTAL,
@@ -179,11 +184,14 @@ def _jax_side(batches, init_sd):
     return curves
 
 
-def test_full_gan_step_loss_curve_parity(monkeypatch, tmp_path):
+@pytest.mark.parametrize("disc_type", ["bce", "hinge"])
+def test_full_gan_step_loss_curve_parity(monkeypatch, tmp_path, disc_type):
     rng = np.random.RandomState(0)
     batches = [_symmetric_batch(rng) for _ in range(STEPS)]
-    torch_curves, init_sd = _torch_side(batches, monkeypatch, tmp_path)
-    jax_curves = _jax_side(batches, init_sd)
+    torch_curves, init_sd = _torch_side(
+        batches, monkeypatch, tmp_path, disc_type
+    )
+    jax_curves = _jax_side(batches, init_sd, disc_type)
 
     for s, (tc, jc) in enumerate(zip(torch_curves, jax_curves)):
         for key in ("overall_vae_loss", "perceptual_loss", "d_loss", "g_gan"):
