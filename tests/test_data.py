@@ -199,3 +199,79 @@ def test_device_prefetch_process_local_assembly(eight_devices):
         np.testing.assert_array_equal(np.asarray(o), batches[i])
     # the per-host contract: local batch = global / process_count
     assert batches[0].shape[0] == 8 // jax.process_count()
+
+
+def test_device_normalize_uint8_pipeline(tmp_path):
+    """device_normalize mode: the loader emits uint8 batches, and on-device
+    u8/127.5-1 equals the host-side fp32 transform bit for bit."""
+    import jax.numpy as jnp
+
+    from vqgan_tpu.data.loader import create_dataloader
+
+    p = str(tmp_path / "00000.tar")
+    _write_tar(p, 8, size=64)
+    kw = dict(batch_size=4, num_workers=1, do_shuffle=False, just_resize=True,
+              width=32, loop=False)
+    b_u8 = next(iter(create_dataloader(p, device_normalize=True, **kw)))
+    b_f32 = next(iter(create_dataloader(p, device_normalize=False, **kw)))
+    assert b_u8.dtype == np.uint8 and b_f32.dtype == np.float32
+    dev = jnp.asarray(b_u8).astype(jnp.float32) / 127.5 - 1.0
+    np.testing.assert_array_equal(np.asarray(dev), b_f32)
+
+
+def test_train_step_accepts_uint8_batch():
+    """The jitted step's trace-time dtype branch: a uint8 batch produces the
+    same update as the equivalent fp32 batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.config import TrainConfig, VAEConfig
+    from vqgan_tpu.losses.lpips import LPIPS
+    from vqgan_tpu.models.ae import VAE
+    from vqgan_tpu.train.state import create_train_state
+    from vqgan_tpu.train.step import make_train_step
+
+    vae_cfg = VAEConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=8, enc_dtype="float32", dec_dtype="float32")
+    cfg = TrainConfig(batch_size=2, image_size=32)
+    vae = VAE(cfg=vae_cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    rngk = jax.random.PRNGKey(0)
+    gp = vae.init({"params": rngk, "sample": rngk}, x0)["params"]
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(2), x0, x0)["params"]
+
+    raw = np.random.RandomState(0).randint(0, 256, (2, 32, 32, 3), np.uint8)
+
+    outs = {}
+    for name, batch in (
+        ("u8", jnp.asarray(raw)),
+        ("f32", jnp.asarray(raw.astype(np.float32) / 127.5 - 1.0)),
+    ):
+        state, g_tx, d_tx = create_train_state(cfg, gp, None, 32, rngk)
+        step = jax.jit(make_train_step(cfg, vae_cfg, vae, None, lpips, g_tx, d_tx),
+                       static_argnums=(3,))
+        state, m = step(state, batch, lp, 0)
+        outs[name] = float(m["overall_vae_loss"])
+    assert outs["u8"] == outs["f32"], outs
+
+
+def test_native_pipeline_uint8_matches_float(tmp_path):
+    from vqgan_tpu.data.native import native_available, native_pipeline
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    data = buf.getvalue()
+    f = native_pipeline(data, 0, 0.3, 0.7, 32)
+    u = native_pipeline(data, 0, 0.3, 0.7, 32, as_uint8=True)
+    assert u.dtype == np.uint8 and f.dtype == np.float32
+    np.testing.assert_allclose(u.astype(np.float32) / 127.5 - 1.0, f, atol=1e-6)

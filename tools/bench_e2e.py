@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--per-shard", type=int, default=200)
     ap.add_argument("--num-workers", type=int, default=4)
     ap.add_argument("--gan", type=lambda s: s != "false", default=True)
+    ap.add_argument("--device-normalize", dest="device_normalize",
+                    type=lambda s: s != "false", default=True)
     args = ap.parse_args()
 
     url = ensure_dataset(
@@ -121,6 +123,7 @@ def main():
     loader = create_dataloader(
         url, args.batch, num_workers=args.num_workers, do_shuffle=True,
         just_resize=False, width=args.image_size, seed=0, loop=True,
+        device_normalize=args.device_normalize,
     )
     it = device_prefetch(iter(loader), shard, depth=2)
 

@@ -113,6 +113,9 @@ class TrainConfig:
     image_size: int = 512  # loaded resolution (MAX_WIDTH, vae_trainer.py:93)
     num_workers: int = 4
     synthetic_data: bool = False  # deterministic on-host generated batches
+    # ship uint8 batches to device and normalize there (4x less H2D traffic;
+    # bit-identical to host normalization — trace-time dtype branch)
+    device_normalize: bool = True
 
     # optimization (vae_trainer.py:455-490)
     learning_rate_vae: float = 1e-5  # divided by vae_ch (muP-style) for all

@@ -33,20 +33,24 @@ def create_dataloader(
     width: int = 512,
     seed: int = 0,
     loop: bool = True,
+    device_normalize: bool = False,
 ) -> TarImageStream:
+    """``device_normalize``: emit uint8 batches and let the (trace-time dtype
+    branch in the) train/eval step do the /127.5-1 normalization on device —
+    4x less host→device traffic for the same numbers."""
     shards = expand_braces(url)
     shards = split_shards(shards, jax.process_index(), jax.process_count())
     if just_resize:
-        transform = make_eval_transform(width)
+        transform = make_eval_transform(width, as_uint8=device_normalize)
     else:
         # prefer the C++ fused decode+transform pipeline when it builds
         from vqgan_tpu.data.native import native_available
         from vqgan_tpu.data.transforms import make_native_train_transform
 
         transform = (
-            make_native_train_transform(width, seed)
+            make_native_train_transform(width, seed, as_uint8=device_normalize)
             if native_available()
-            else make_train_transform(width, seed)
+            else make_train_transform(width, seed, as_uint8=device_normalize)
         )
     return TarImageStream(
         shards,

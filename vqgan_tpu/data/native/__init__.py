@@ -54,6 +54,12 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.vq_pipeline_u8.restype = ctypes.c_int
+        lib.vq_pipeline_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.vq_probe.restype = ctypes.c_int
         lib.vq_probe.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -68,16 +74,24 @@ def native_available() -> bool:
 
 
 def native_pipeline(
-    data: bytes, resize_to: int, crop_fx: float, crop_fy: float, target: int
+    data: bytes, resize_to: int, crop_fx: float, crop_fy: float, target: int,
+    as_uint8: bool = False,
 ) -> Optional[np.ndarray]:
     lib = load_native()
     if lib is None:
         return None
-    out = np.empty((target, target, 3), np.float32)
-    rc = lib.vq_pipeline(
-        data, len(data), resize_to, crop_fx, crop_fy, target,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    if as_uint8:
+        out = np.empty((target, target, 3), np.uint8)
+        rc = lib.vq_pipeline_u8(
+            data, len(data), resize_to, crop_fx, crop_fy, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    else:
+        out = np.empty((target, target, 3), np.float32)
+        rc = lib.vq_pipeline(
+            data, len(data), resize_to, crop_fx, crop_fy, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
     if rc != 0:
         return None
     return out

@@ -245,27 +245,38 @@ int vq_probe(const uint8_t* buf, size_t len, int* w, int* h) {
   return 0;
 }
 
+// Shared decode + resize + crop; writes the crop offset into (ox, oy).
+static int pipeline_common(const uint8_t* buf, size_t len, int resize_to,
+                           double crop_fx, double crop_fy, int target,
+                           Image* img, int* ox_out, int* oy_out) {
+  bool ok = false;
+  if (len > 3 && buf[0] == 0xFF && buf[1] == 0xD8)
+    ok = decode_jpeg(buf, len, img);
+  else
+    ok = decode_png(buf, len, img);
+  if (!ok) return -1;
+
+  if (resize_to > 0) resize_shorter_side(img, resize_to);
+  if (img->w < target || img->h < target) resize_shorter_side(img, target);
+
+  const int max_x = img->w - target, max_y = img->h - target;
+  int ox = int(crop_fx * (max_x + 1));
+  int oy = int(crop_fy * (max_y + 1));
+  *ox_out = std::max(0, std::min(max_x, ox));
+  *oy_out = std::max(0, std::min(max_y, oy));
+  return 0;
+}
+
 // Fused pipeline; see file header. mode:
 //   resize_to == 0 → no shorter-side resize (beyond the ensure-min-target)
 int vq_pipeline(const uint8_t* buf, size_t len, int resize_to, double crop_fx,
                 double crop_fy, int target, float* out) {
   if (target <= 0 || !out) return -2;
   Image img;
-  bool ok = false;
-  if (len > 3 && buf[0] == 0xFF && buf[1] == 0xD8)
-    ok = decode_jpeg(buf, len, &img);
-  else
-    ok = decode_png(buf, len, &img);
-  if (!ok) return -1;
-
-  if (resize_to > 0) resize_shorter_side(&img, resize_to);
-  if (img.w < target || img.h < target) resize_shorter_side(&img, target);
-
-  const int max_x = img.w - target, max_y = img.h - target;
-  int ox = int(crop_fx * (max_x + 1));
-  int oy = int(crop_fy * (max_y + 1));
-  ox = std::max(0, std::min(max_x, ox));
-  oy = std::max(0, std::min(max_y, oy));
+  int ox, oy;
+  int rc = pipeline_common(buf, len, resize_to, crop_fx, crop_fy, target,
+                           &img, &ox, &oy);
+  if (rc != 0) return rc;
 
   const float scale = 1.0f / 127.5f;
   for (int y = 0; y < target; ++y) {
@@ -273,6 +284,25 @@ int vq_pipeline(const uint8_t* buf, size_t len, int resize_to, double crop_fx,
         img.data.data() + (size_t(oy + y) * img.w + ox) * 3;
     float* q = out + size_t(y) * target * 3;
     for (int i = 0; i < target * 3; ++i) q[i] = row[i] * scale - 1.0f;
+  }
+  return 0;
+}
+
+// Same pipeline, raw uint8 output: normalization happens on the accelerator
+// (4x less host->device traffic — on a TPU the H2D hop is the narrow link).
+int vq_pipeline_u8(const uint8_t* buf, size_t len, int resize_to,
+                   double crop_fx, double crop_fy, int target, uint8_t* out) {
+  if (target <= 0 || !out) return -2;
+  Image img;
+  int ox, oy;
+  int rc = pipeline_common(buf, len, resize_to, crop_fx, crop_fy, target,
+                           &img, &ox, &oy);
+  if (rc != 0) return rc;
+
+  for (int y = 0; y < target; ++y) {
+    const uint8_t* row =
+        img.data.data() + (size_t(oy + y) * img.w + ox) * 3;
+    std::memcpy(out + size_t(y) * target * 3, row, size_t(target) * 3);
   }
   return 0;
 }

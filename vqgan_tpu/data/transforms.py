@@ -58,9 +58,11 @@ def _center_crop(img: np.ndarray, size: int) -> np.ndarray:
     return img[top : top + size, left : left + size]
 
 
-def make_train_transform(width: int = 512, seed: int = 0):
+def make_train_transform(width: int = 512, seed: int = 0, as_uint8: bool = False):
     """p=0.5: RandomCrop(width) directly; else Resize(width)+RandomCrop
-    (vae_trainer.py:105-116)."""
+    (vae_trainer.py:105-116). ``as_uint8`` keeps the output uint8 HWC —
+    normalization then happens on device after a 4x cheaper H2D transfer
+    (the train step's trace-time dtype branch)."""
     rng = np.random.default_rng(seed)
 
     def transform(img: np.ndarray) -> np.ndarray:
@@ -68,12 +70,13 @@ def make_train_transform(width: int = 512, seed: int = 0):
             out = _random_crop(img, width, rng)
         else:
             out = _random_crop(_resize(img, width), width, rng)
-        return _to_float(np.ascontiguousarray(out))
+        out = np.ascontiguousarray(out)
+        return out if as_uint8 else _to_float(out)
 
     return transform
 
 
-def make_native_train_transform(width: int = 512, seed: int = 0):
+def make_native_train_transform(width: int = 512, seed: int = 0, as_uint8: bool = False):
     """Bytes → float32 HWC via the C++ fused decode+resize+crop+normalize
     pipeline (data/native). Randomness (the p=0.5 crop-vs-resize branch and
     fractional crop offsets, mirroring vae_trainer.py:105-116) stays here;
@@ -85,12 +88,13 @@ def make_native_train_transform(width: int = 512, seed: int = 0):
     from vqgan_tpu.data.native import native_pipeline
 
     rng = np.random.default_rng(seed)
-    fallback = make_train_transform(width, seed + 1)
+    fallback = make_train_transform(width, seed + 1, as_uint8=as_uint8)
 
     def transform(data: bytes) -> np.ndarray:
         resize_to = 0 if rng.random() < 0.5 else width
         out = native_pipeline(
-            data, resize_to, float(rng.random()), float(rng.random()), width
+            data, resize_to, float(rng.random()), float(rng.random()), width,
+            as_uint8=as_uint8,
         )
         if out is None:
             from vqgan_tpu.data.tar_stream import _decode_image
@@ -105,11 +109,11 @@ def make_native_train_transform(width: int = 512, seed: int = 0):
     return transform
 
 
-def make_eval_transform(width: int = 512):
+def make_eval_transform(width: int = 512, as_uint8: bool = False):
     """CenterCrop(512) → Resize(width) (vae_trainer.py:95-102)."""
 
     def transform(img: np.ndarray) -> np.ndarray:
-        out = _resize_exact(_center_crop(img, 512), width)
-        return _to_float(np.ascontiguousarray(out))
+        out = np.ascontiguousarray(_resize_exact(_center_crop(img, 512), width))
+        return out if as_uint8 else _to_float(out)
 
     return transform

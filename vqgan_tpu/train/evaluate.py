@@ -41,6 +41,8 @@ def make_eval_step(cfg: TrainConfig, vae_cfg: VAEConfig, vae_model):
         variables = {"params": g_params}
         if vq_ema is not None:
             variables["vq_ema"] = vq_ema
+        if batch.dtype == jnp.uint8:  # loader device_normalize mode
+            batch = batch.astype(jnp.float32) / 127.5 - 1.0
         x = resize_area(batch, (enc_res, enc_res))
         z = vae_model.apply(variables, x, method=vae_model.encode)
         if cfg.do_clamp:

@@ -140,6 +140,11 @@ def make_train_step(
         """batch (B,S,S,3) → (recon, z, target, aux_loss, z_pre, new_ema).
         Differentiable in g_params; target carries no parameter gradient.
         ``do_crop``: 0/False = no crop; k >= 1 = crop bucket k (static)."""
+        if batch_hr.dtype == jnp.uint8:
+            # device-side normalization (loader device_normalize mode): the
+            # H2D transfer carried uint8; this matches the host-side
+            # uint8/127.5 - 1 bit for bit. Trace-time branch — free under jit.
+            batch_hr = batch_hr.astype(jnp.float32) / 127.5 - 1.0
         x_enc = resize_area(batch_hr, (enc_res, enc_res))
         target = resize_area(batch_hr, (tgt_res, tgt_res))
         # always-on random horizontal flip of inputs (vae_trainer.py:534-536)

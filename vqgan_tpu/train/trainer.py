@@ -169,6 +169,7 @@ class Trainer:
                 just_resize=not train,
                 width=cfg.image_size,
                 seed=cfg.seed,
+                device_normalize=cfg.device_normalize,
             )
         )
 
