@@ -30,31 +30,56 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXES = ("data", "fsdp", "tensor")
 
 
-def init_distributed() -> None:
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Multi-host runtime init — the torchrun equivalent.
 
     On a TPU pod every host runs this same program;
     ``jax.distributed.initialize()`` wires the coordination service so
     ``jax.devices()`` spans the whole slice and ``jax.process_index()``
     drives the per-host data split (data/tar_stream.py). Triggered by the
-    standard coordinator env vars or an explicit VQGAN_TPU_MULTIHOST=1
-    (auto-calling it unconditionally breaks single-host setups whose images
-    set TPU worker env vars, like this one).
+    standard coordinator env vars, explicit arguments, or
+    VQGAN_TPU_MULTIHOST=1 (auto-calling it unconditionally breaks
+    single-host setups whose images set TPU worker env vars, like this one).
+
+    Explicit coordinates may come from the args or from
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — the
+    torchrun-style launch contract; on a real pod the TPU autodetection
+    needs none of them. Works for CPU process clusters too (Gloo
+    collectives), which is how tests/test_multiprocess.py runs the real
+    2-process data-parallel contract without TPU hardware.
     """
     import os
 
-    if jax.process_count() > 1:
+    # NOTE: must not touch jax.devices()/process_count() here — any backend
+    # query initializes XLA and makes distributed.initialize impossible
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
+    if coordinator_address is None:
+        coordinator_address = os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        ) or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     triggers = (
-        "JAX_COORDINATOR_ADDRESS",
-        "COORDINATOR_ADDRESS",
         "MEGASCALE_COORDINATOR_ADDRESS",
     )
-    if os.environ.get("VQGAN_TPU_MULTIHOST") == "1" or any(
-        v in os.environ for v in triggers
+    if (
+        coordinator_address is not None
+        or os.environ.get("VQGAN_TPU_MULTIHOST") == "1"
+        or any(v in os.environ for v in triggers)
     ):
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
         except Exception as e:  # pragma: no cover
             import logging
 
