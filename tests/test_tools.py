@@ -55,3 +55,17 @@ def test_feature_fn_shapes():
     fn = make_feature_fn(params)
     out = fn(jnp.zeros((2, 32, 32, 3)))
     assert out.shape == (2, 512)
+
+
+def test_bench_output_contract():
+    """bench.py must print a JSON line with metric/value/unit/vs_baseline
+    (the driver contract, CLAUDE.md invariant)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "bench.py")).read()
+    # the result dict carries the four required keys
+    for key in ('"metric"', '"value"', '"unit"', '"vs_baseline"'):
+        assert key in src, key
+    # exactly one print(json.dumps(...)) per exit path, guarded returns
+    assert src.count("print(json.dumps(") >= 1
