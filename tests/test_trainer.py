@@ -202,3 +202,37 @@ def test_trainer_fsdp_tensor_sharding(tmp_path):
     # optimizer moments shard identically to the params they track
     opt_specs = [s for shape, s in specs(trainer.state.g_opt) if len(shape) == 4]
     assert any(has_axis(s, "fsdp") for s in opt_specs), opt_specs
+
+
+def test_trainer_nan_guard_covers_final_save(tmp_path):
+    """A NaN that lands off the log cadence must still be caught by the
+    end-of-training checkpoint guard (no site writes unvetted state)."""
+    import jax.numpy as jnp
+
+    from vqgan_tpu.train.trainer import DivergenceError
+
+    cfg = TrainConfig(
+        synthetic_data=True,
+        batch_size=8,
+        image_size=32,
+        max_steps=2,
+        num_epochs=1,
+        evaluate_every_n_steps=0,
+        use_wandb=False,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        run_name="nf",
+        log_every=1000,  # never logs → only the save-site guard can catch it
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))
+    real_step = trainer._step
+
+    def poisoned_step(state, batch, lpips_params, do_crop):
+        state, metrics = real_step(state, batch, lpips_params, do_crop)
+        metrics = dict(metrics)
+        metrics["overall_vae_loss"] = jnp.float32(jnp.nan)
+        return state, metrics
+
+    trainer._step = poisoned_step
+    with pytest.raises(DivergenceError):
+        trainer.train()
+    assert trainer.ckpt.latest_step() is None

@@ -127,8 +127,9 @@ def main():
     )
     it = device_prefetch(iter(loader), shard, depth=2)
 
-    # warmup: compile + fill prefetch + shuffle buffer
-    for _ in range(args.warmup):
+    # warmup: compile + fill prefetch + shuffle buffer (at least one step so
+    # compile time stays out of the timed region and `metrics` is defined)
+    for _ in range(max(1, args.warmup)):
         state, metrics = step(state, next(it), lpips_params, False)
     float(metrics["overall_vae_loss"])  # sync (axon: block_until_ready no-op)
 

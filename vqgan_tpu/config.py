@@ -155,7 +155,9 @@ class TrainConfig:
     # of the latent side) — one compiled step variant per bucket, selected
     # host-side — with random offsets traced per step. Buckets approximate
     # the reference's random-size distribution without dynamic shapes.
-    crop_fractions: Tuple[float, ...] = (0.5, 0.75, 0.875)
+    # Bucket 1 first so the legacy boolean do_crop=True (== bucket 1) keeps
+    # the pre-bucketing 0.75 behavior.
+    crop_fractions: Tuple[float, ...] = (0.75, 0.5, 0.875)
 
     # run management
     run_name: str = "run"

@@ -46,27 +46,41 @@ def load_native() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_LIB)
-        except OSError:
-            return None
-        lib.vq_pipeline.restype = ctypes.c_int
-        lib.vq_pipeline.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.vq_pipeline_u8.restype = ctypes.c_int
-        lib.vq_pipeline_u8.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.vq_probe.restype = ctypes.c_int
-        lib.vq_probe.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
+            _bind(lib)
+        except (OSError, AttributeError):
+            # missing file, or a stale .so lacking a newer symbol — rebuild
+            # once, then give up to the Python fallback
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+                _bind(lib)
+            except (OSError, AttributeError):
+                return None
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Resolve + type every exported symbol; raises AttributeError on a
+    stale .so missing a newer entry point (caller rebuilds once)."""
+    lib.vq_pipeline.restype = ctypes.c_int
+    lib.vq_pipeline.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vq_pipeline_u8.restype = ctypes.c_int
+    lib.vq_pipeline_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.vq_probe.restype = ctypes.c_int
+    lib.vq_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
 
 
 def native_available() -> bool:

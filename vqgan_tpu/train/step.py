@@ -165,10 +165,14 @@ def make_train_step(
         if do_crop:
             # static bucketed crop size, traced offsets (redesign of
             # :577-621): do_crop is a 1-based bucket index into
-            # cfg.crop_fractions (True == 1 keeps the boolean API working)
-            frac = cfg.crop_fractions[
-                min(int(do_crop), len(cfg.crop_fractions)) - 1
-            ]
+            # cfg.crop_fractions (True == 1 keeps the boolean API working —
+            # bucket 1 is 0.75, the pre-bucketing default)
+            if int(do_crop) > len(cfg.crop_fractions):
+                raise ValueError(
+                    f"crop bucket {int(do_crop)} out of range for "
+                    f"crop_fractions {cfg.crop_fractions}"
+                )
+            frac = cfg.crop_fractions[int(do_crop) - 1]
             zh, zw = z_s.shape[1], z_s.shape[2]
             ch = max(1, int(round(frac * zh)))
             cw = max(1, int(round(frac * zw)))

@@ -143,7 +143,7 @@ class Trainer:
         # the latest orbax checkpoint of this run — exact continuation, unlike
         # the reference's weights-only restarts (vae_trainer.py:505-513)
         if not cfg.load_path and self.ckpt.latest_step() is not None:
-            restored = self.ckpt.restore(jax.device_get(self.state))
+            restored = self.ckpt.restore(self._host_state())
             if restored is not None:
                 self.state = jax.device_put(restored, self.state_shard)
                 self.logger.info(
@@ -205,6 +205,8 @@ class Trainer:
         t0 = time.time()
         metrics = {}
         profiling = False
+        metrics_device = None  # most recent step's on-device metrics
+        metrics_checked = True  # whether the NaN guard vetted them
 
         for epoch in range(cfg.num_epochs):
             for batch in loader:
@@ -214,6 +216,7 @@ class Trainer:
                     self.logger.info(
                         f"Preemption signal received — checkpointing at step {global_step}"
                     )
+                    self._guard_latest(metrics_device, metrics_checked, global_step)
                     self.save(global_step, epoch)
                     self.ckpt.wait()
                     return
@@ -234,6 +237,7 @@ class Trainer:
                 self.state, metrics_device = self._step(
                     self.state, batch, self.lpips_params, do_crop
                 )
+                metrics_checked = False
 
                 if profiling and global_step == 15:
                     jax.block_until_ready(self.state.g_params)
@@ -247,6 +251,7 @@ class Trainer:
                     }
                     if cfg.nan_guard:
                         self._guard_finite(metrics, global_step)
+                        metrics_checked = True
                 time_taken_till_step = time.time() - t0
 
                 if log_now and self.is_master:
@@ -282,23 +287,48 @@ class Trainer:
                     cfg.evaluate_every_n_steps > 0
                     and global_step % cfg.evaluate_every_n_steps == 1
                 ):
-                    if cfg.nan_guard:
-                        # last line of defense before overwriting checkpoints:
-                        # host-fetch this step's loss even off the log cadence
-                        self._guard_finite(
-                            {
-                                k: float(v)
-                                for k, v in jax.device_get(metrics_device).items()
-                            },
-                            global_step,
-                        )
+                    # last line of defense before overwriting checkpoints:
+                    # vet this step's metrics even off the log cadence
+                    # (skipped when the log branch already checked them)
+                    metrics_checked = self._guard_latest(
+                        metrics_device, metrics_checked, global_step
+                    )
                     self.evaluate(global_step, epoch, test_loader)
                     self.save(global_step, epoch)
             if global_step >= cfg.max_steps:
                 break
+        self._guard_latest(metrics_device, metrics_checked, global_step)
         self.save(global_step, None)
         self.ckpt.wait()
         self.logger.close()
+
+    # ------------------------------------------------------------------
+    def _host_state(self):
+        """Host copy of the train state. Plain device_get raises on arrays
+        that span non-addressable devices — which fsdp/tensor-sharded state
+        does on a multi-host mesh — so gather across processes first there.
+        Single-host (even sharded) state is fully addressable and takes the
+        cheap path."""
+        leaves = jax.tree_util.tree_leaves(self.state)
+        if all(getattr(l, "is_fully_addressable", True) for l in leaves):
+            return jax.device_get(self.state)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(self.state, tiled=True)
+
+    # ------------------------------------------------------------------
+    def _guard_latest(self, metrics_device, already_checked: bool, step: int) -> bool:
+        """Every checkpoint site (eval cadence, preemption, end-of-training)
+        funnels through here: vet the most recent step's metrics unless the
+        log branch already did for this exact step. Returns True once
+        checked."""
+        if not self.cfg.nan_guard or already_checked or metrics_device is None:
+            return already_checked
+        self._guard_finite(
+            {k: float(v) for k, v in jax.device_get(metrics_device).items()},
+            step,
+        )
+        return True
 
     # ------------------------------------------------------------------
     def _guard_finite(self, metrics: dict, step: int) -> None:
@@ -378,12 +408,13 @@ class Trainer:
         self.logger.info(f"Epoch [{epoch}] - Logged test images at step {step}")
 
     def save(self, step: int, epoch: Optional[int]) -> None:
-        self.ckpt.save(step, jax.device_get(self.state))
+        host_state = self._host_state()
+        self.ckpt.save(step, host_state)
         if self.is_master:
             path = os.path.join(
                 self.cfg.ckpt_dir,
                 self.cfg.run_name,
                 f"vae_epoch_{epoch if epoch is not None else 'final'}_step_{step}.pt",
             )
-            save_weights_torch(jax.device_get(self.state.g_params), path)
+            save_weights_torch(host_state.g_params, path)
             self.logger.info(f"Saved checkpoint to {path}")
