@@ -101,3 +101,91 @@ def test_replicated_params_stay_in_sync_after_sharded_grad(eight_devices):
     vals = [np.asarray(s.data) for s in w2.addressable_shards]
     for v in vals[1:]:
         np.testing.assert_array_equal(vals[0], v)
+
+
+def test_spatial_context_parallel_forward_matches(eight_devices):
+    """SP: sharding the image H axis over a "context" mesh axis must produce
+    the same numbers as the unsharded model — GSPMD inserts the conv halo
+    exchanges and GroupNorm's cross-shard reductions."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vqgan_tpu.config import VAEConfig
+    from vqgan_tpu.models.ae import VAE
+    from vqgan_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    cfg = VAEConfig(
+        resolution=64, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        enc_dtype="float32", dec_dtype="float32",
+    )
+    vae = VAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, 64, 64, 3), minval=-1, maxval=1
+    )
+    params = vae.init({"params": rng, "sample": rng}, x)["params"]
+
+    def fwd(p, xx):
+        z = vae.apply({"params": p}, xx, method=vae.encode)
+        return vae.apply({"params": p}, z, method=vae.decode)
+
+    ref = jax.jit(fwd)(params, x)
+
+    mesh = create_mesh({"data": 2, "context": 4})
+    sh = batch_sharding(mesh)
+    assert sh.spec == P("data", "context", None, None), sh.spec
+    xs = jax.device_put(x, sh)
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    out = jax.jit(fwd)(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+
+def test_spatial_context_parallel_train_step(eight_devices):
+    """A full GAN train step on a data×context mesh runs and stays finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.config import TrainConfig, VAEConfig
+    from vqgan_tpu.losses.discriminator import PatchDiscriminator
+    from vqgan_tpu.losses.lpips import LPIPS
+    from vqgan_tpu.models.ae import VAE
+    from vqgan_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+    from vqgan_tpu.train.state import create_train_state
+    from vqgan_tpu.train.step import make_train_step
+
+    vae_cfg = VAEConfig(
+        resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        enc_dtype="float32", dec_dtype="float32",
+    )
+    cfg = TrainConfig(
+        batch_size=2, image_size=32, do_ganloss=True, disc_type="hinge",
+    )
+    vae = VAE(cfg=vae_cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    rngk = jax.random.PRNGKey(0)
+    gp = vae.init({"params": rngk, "sample": rngk}, x0)["params"]
+    disc = PatchDiscriminator()
+    dp = disc.init(jax.random.PRNGKey(1), x0)["params"]
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(2), x0, x0)["params"]
+    state, g_tx, d_tx = create_train_state(cfg, gp, dp, 32, rngk)
+
+    mesh = create_mesh({"data": 2, "context": 4})
+    with mesh:
+        state = jax.device_put(state, replicated(mesh))
+        lp = jax.device_put(lp, replicated(mesh))
+        batch = jax.device_put(
+            jnp.asarray(
+                np.random.RandomState(0)
+                .uniform(-1, 1, (2, 32, 32, 3))
+                .astype(np.float32)
+            ),
+            batch_sharding(mesh),
+        )
+        step = jax.jit(
+            make_train_step(cfg, vae_cfg, vae, disc, lpips, g_tx, d_tx),
+            static_argnums=(3,), donate_argnums=(0,),
+        )
+        state, metrics = step(state, batch, lp, 0)
+    assert np.isfinite(float(metrics["overall_vae_loss"]))

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "tensor", "context")
 
 
 def init_distributed(
@@ -133,11 +133,18 @@ def _data_axes(mesh: Mesh) -> tuple:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) dim over data-like axes; rest replicated."""
+    """Shard the leading (batch) dim over data-like axes; with a "context"
+    axis of extent > 1, additionally shard the H (second) dim — spatial /
+    sequence parallelism. GSPMD partitions every conv spatially and inserts
+    the halo exchanges (and GroupNorm's cross-shard reductions) over ICI
+    automatically; no hand-written collectives. Lets one image's activations
+    span several chips — resolutions beyond a single chip's HBM."""
     axes = _data_axes(mesh)
     spec = [None] * ndim
     if axes:
         spec[0] = axes if len(axes) > 1 else axes[0]
+    if ndim >= 3 and "context" in mesh.axis_names and mesh.shape.get("context", 1) > 1:
+        spec[1] = "context"
     return NamedSharding(mesh, P(*spec))
 
 

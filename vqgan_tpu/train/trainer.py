@@ -55,6 +55,12 @@ class Trainer:
                 f"global batch_size {cfg.batch_size} must be divisible by the "
                 f"data-parallel extent {n_data} of mesh {dict(self.mesh.shape)}"
             )
+        n_ctx = self.mesh.shape.get("context", 1)
+        if n_ctx > 1 and cfg.image_size % n_ctx:
+            raise ValueError(
+                f"image_size {cfg.image_size} must be divisible by the "
+                f"context (spatial-parallel) extent {n_ctx}"
+            )
 
         if cfg.full_bf16:
             vae_cfg = VAEConfig(
