@@ -1,0 +1,81 @@
+"""Serving-export tests: jax.export artifacts roundtrip and match the
+inference pipeline (vqgan_tpu/export.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from vqgan_tpu.config import VAEConfig
+from vqgan_tpu.export import ExportedVAE, export_vae
+from vqgan_tpu.inference import VAEPipeline
+from vqgan_tpu.models.ae import init_vae_params
+
+TINY = dict(
+    resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+    enc_dtype="float32", dec_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cfg = VAEConfig(**TINY)
+    _, params = init_vae_params(cfg, jax.random.PRNGKey(0))
+    out = tmp_path_factory.mktemp("artifact")
+    export_vae(cfg, params, str(out), platforms=("cpu",))
+    return cfg, params, str(out)
+
+
+def test_exported_matches_pipeline(artifact):
+    cfg, params, out = artifact
+    pipe = VAEPipeline(cfg, params)
+    loaded = ExportedVAE.load(out)
+    imgs = (np.random.RandomState(0).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    z_ref = np.asarray(pipe.encode(imgs))
+    z_exp = loaded.encode(imgs)
+    np.testing.assert_allclose(z_exp, z_ref, atol=1e-5)
+    np.testing.assert_allclose(loaded.decode(z_exp), pipe.decode(z_ref), atol=1e-5)
+
+
+def test_exported_symbolic_batch(artifact):
+    _, _, out = artifact
+    loaded = ExportedVAE.load(out)
+    for b in (1, 3):
+        imgs = (np.random.RandomState(b).rand(b, 32, 32, 3) * 255).astype(np.uint8)
+        z = loaded.encode(imgs)
+        assert z.shape == (b, 16, 16, 8)
+        assert float(np.abs(z).max()) <= 8.0  # baked-in clamp
+        recon = loaded.decode(z)
+        assert recon.shape == (b, 32, 32, 3)
+        assert recon.min() >= 0.0 and recon.max() <= 1.0
+
+
+def test_exported_manifest(artifact):
+    cfg, _, out = artifact
+    with open(f"{out}/manifest.json") as f:
+        m = json.load(f)
+    assert m["format"] == "vqgan_tpu.export/v1"
+    assert m["vae_config"]["ch"] == cfg.ch
+    assert m["encode_input"] == ["b", 32, 32, 3]
+    assert m["decode_output"] == ["b", 32, 32, 3]
+
+
+def test_exported_gaussian_reg_returns_mean(tmp_path):
+    cfg = VAEConfig(**TINY, reg_type="gaussian")
+    _, params = init_vae_params(cfg, jax.random.PRNGKey(2))
+    export_vae(cfg, params, str(tmp_path), platforms=("cpu",))
+    loaded = ExportedVAE.load(str(tmp_path))
+    imgs = (np.random.RandomState(2).rand(1, 32, 32, 3) * 255).astype(np.uint8)
+    z = loaded.encode(imgs)
+    assert z.shape == (1, 16, 16, 8)  # mean half of 2*z_channels
+
+
+def test_export_rejects_pallas_and_vq(tmp_path):
+    cfg = VAEConfig(**TINY, use_pallas_gn=True)
+    _, params = init_vae_params(VAEConfig(**TINY), jax.random.PRNGKey(3))
+    with pytest.raises(ValueError):
+        export_vae(cfg, params, str(tmp_path))
+    with pytest.raises(NotImplementedError):
+        export_vae(VAEConfig(**TINY, reg_type="vq"), params, str(tmp_path))

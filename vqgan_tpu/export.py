@@ -1,0 +1,210 @@
+"""Serving export: self-contained StableHLO artifacts via ``jax.export``.
+
+The reference's deployment story is "upload the .pt to HuggingFace and have
+consumers rebuild the torch module around it" (tester_upload.sh:1-2,
+README.hf.md:28-53). The TPU-native equivalent is an ahead-of-time exported
+program: weights baked in as constants, batch dimension symbolic, lowered for
+both CPU and TPU — a single directory a serving process can load and call
+with zero framework code (no flax, no model definition, no config plumbing).
+
+    from vqgan_tpu.export import export_vae, ExportedVAE
+    export_vae(cfg, params, "artifact/")         # writes encode/decode + manifest
+    vae = ExportedVAE.load("artifact/")          # anywhere, any process
+    z = vae.encode(images)                       # (B,H,W,3) uint8/float -> latents
+    recon = vae.decode(z)                        # latents -> float images in [0,1]
+
+Semantics match ``inference.VAEPipeline``: encode clamps to ±clamp_th like the
+published AuraEquiVAE (README.hf.md:40) and returns the mean for the real
+Gaussian regularizer; decode maps to [0,1].
+
+CLI: ``python -m vqgan_tpu.export --checkpoint vae.pt --out_dir artifact/``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from vqgan_tpu.config import VAEConfig
+from vqgan_tpu.models.ae import VAE
+
+_MANIFEST = "manifest.json"
+_ENCODE = "encode.jaxexport"
+_DECODE = "decode.jaxexport"
+
+# cpu lowering makes artifacts testable/servable off-accelerator; tpu is the
+# deployment target. (Multi-platform export requires platform-portable HLO —
+# hence the pallas-kernel guard below.)
+_DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+
+def export_vae(
+    cfg: VAEConfig,
+    params,
+    out_dir: str,
+    *,
+    do_clamp: bool = True,
+    clamp_th: float = 8.0,
+    platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+) -> None:
+    """Write a self-contained serving artifact for ``VAE(cfg)`` + ``params``.
+
+    The batch dimension is symbolic — one artifact serves any batch size.
+    Spatial dims are static at ``cfg.resolution`` (stride-2 conv shapes are
+    resolution-dependent; export one artifact per serving resolution).
+    """
+    if cfg.use_pallas_gn:
+        raise ValueError(
+            "export requires platform-portable HLO; re-instantiate the "
+            "config with use_pallas_gn=False (weights are unaffected)"
+        )
+    if cfg.reg_type == "vq":
+        raise NotImplementedError(
+            "vq export needs the codebook EMA collection plumbed through; "
+            "export identity_gaussian/gaussian models"
+        )
+    model = VAE(cfg=cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def encode_fn(x):
+        z = model.apply({"params": params}, x, method=model.encode)
+        if do_clamp:
+            z = jnp.clip(z, -clamp_th, clamp_th)
+        if cfg.reg_type == "gaussian":
+            z = jnp.split(z, 2, axis=-1)[0]  # mean
+        return z.astype(jnp.float32)
+
+    def decode_fn(z):
+        dec = model.apply({"params": params}, z, method=model.decode)
+        return jnp.clip(dec.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+
+    (b,) = jax_export.symbolic_shape("b")
+    res = cfg.resolution
+    latent_res = res // cfg.ffactor
+    out_res = res * (2 if cfg.decoder_also_perform_hr else 1)
+    x_spec = jax.ShapeDtypeStruct((b, res, res, cfg.in_channels), jnp.float32)
+    z_spec = jax.ShapeDtypeStruct(
+        (b, latent_res, latent_res, cfg.z_channels), jnp.float32
+    )
+    exp_enc = jax_export.export(jax.jit(encode_fn), platforms=list(platforms))(x_spec)
+    exp_dec = jax_export.export(jax.jit(decode_fn), platforms=list(platforms))(z_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _ENCODE), "wb") as f:
+        f.write(exp_enc.serialize())
+    with open(os.path.join(out_dir, _DECODE), "wb") as f:
+        f.write(exp_dec.serialize())
+    manifest = {
+        "format": "vqgan_tpu.export/v1",
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "vae_config": dataclasses.asdict(cfg),
+        "do_clamp": do_clamp,
+        "clamp_th": clamp_th,
+        "encode_input": ["b", res, res, cfg.in_channels],
+        "encode_output": ["b", latent_res, latent_res, cfg.z_channels],
+        "decode_input": ["b", latent_res, latent_res, cfg.z_channels],
+        "decode_output": ["b", out_res, out_res, cfg.out_ch],
+        "io_dtype": "float32",
+        "image_range_in": "[-1, 1] (uint8 accepted by ExportedVAE.encode)",
+        "image_range_out": "[0, 1]",
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+class ExportedVAE:
+    """Loads and calls an ``export_vae`` artifact — no model code needed."""
+
+    def __init__(self, manifest: dict, enc, dec):
+        self.manifest = manifest
+        self._enc = enc
+        self._dec = dec
+
+    @classmethod
+    def load(cls, artifact_dir: str) -> "ExportedVAE":
+        with open(os.path.join(artifact_dir, _MANIFEST)) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != "vqgan_tpu.export/v1":
+            raise ValueError(f"unrecognized artifact format: {manifest.get('format')}")
+        with open(os.path.join(artifact_dir, _ENCODE), "rb") as f:
+            enc = jax_export.deserialize(f.read())
+        with open(os.path.join(artifact_dir, _DECODE), "rb") as f:
+            dec = jax_export.deserialize(f.read())
+        return cls(manifest, enc, dec)
+
+    @staticmethod
+    def _to_model_input(images) -> jax.Array:
+        x = np.asarray(images)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        if x.ndim == 3:
+            x = x[None]
+        return jnp.asarray(x, jnp.float32)
+
+    def encode(self, images) -> np.ndarray:
+        """Images (B,H,W,3) uint8 [0,255] or float [-1,1] → latents."""
+        return np.asarray(self._enc.call(self._to_model_input(images)))
+
+    def decode(self, z) -> np.ndarray:
+        """Latents → float images in [0,1]."""
+        return np.asarray(self._dec.call(jnp.asarray(z, jnp.float32)))
+
+    def reconstruct(self, images) -> np.ndarray:
+        return self.decode(self.encode(images))
+
+
+def _main():
+    import click
+
+    from vqgan_tpu.config import parse_ch_mult
+
+    @click.command()
+    @click.option("--checkpoint", required=True, help="torch .pt or orbax weights dir")
+    @click.option("--out_dir", required=True)
+    @click.option("--vae_ch", type=int, default=256)
+    @click.option("--vae_ch_mult", type=str, default="1,2,4,4")
+    @click.option("--vae_z_channels", type=int, default=16)
+    @click.option("--vae_num_res_blocks", type=int, default=2)
+    @click.option("--vae_resolution", type=int, default=256)
+    @click.option("--use_wavelet", type=bool, default=False)
+    @click.option("--do_attn", type=bool, default=False)
+    @click.option("--decoder_also_perform_hr", type=bool, default=False)
+    @click.option("--do_clamp", type=bool, default=True)
+    @click.option("--clamp_th", type=float, default=8.0)
+    @click.option("--platforms", type=str, default="cpu,tpu")
+    def run(checkpoint, out_dir, vae_ch, vae_ch_mult, vae_z_channels,
+            vae_num_res_blocks, vae_resolution, use_wavelet, do_attn,
+            decoder_also_perform_hr, do_clamp, clamp_th, platforms):
+        from vqgan_tpu.train.checkpoint import load_weights
+
+        cfg = VAEConfig(
+            resolution=vae_resolution,
+            ch=vae_ch,
+            ch_mult=parse_ch_mult(vae_ch_mult),
+            z_channels=vae_z_channels,
+            num_res_blocks=vae_num_res_blocks,
+            use_wavelet=use_wavelet,
+            use_attn=do_attn,
+            decoder_also_perform_hr=decoder_also_perform_hr,
+        )
+        params = load_weights(checkpoint)
+        export_vae(
+            cfg, params, out_dir,
+            do_clamp=do_clamp, clamp_th=clamp_th,
+            platforms=tuple(p.strip() for p in platforms.split(",") if p.strip()),
+        )
+        click.echo(f"Exported serving artifact to {out_dir}")
+
+    run()
+
+
+if __name__ == "__main__":
+    _main()
