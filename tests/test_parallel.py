@@ -189,3 +189,31 @@ def test_spatial_context_parallel_train_step(eight_devices):
         )
         state, metrics = step(state, batch, lp, 0)
     assert np.isfinite(float(metrics["overall_vae_loss"]))
+
+
+def test_split_dcn_axes_prefers_data_axis():
+    from vqgan_tpu.parallel.mesh import split_dcn_axes
+
+    ici, dcn = split_dcn_axes({"data": 8, "fsdp": 2, "tensor": 2}, 4)
+    assert ici == {"data": 2, "fsdp": 2, "tensor": 2}
+    assert dcn == {"data": 4, "fsdp": 1, "tensor": 1}
+
+
+def test_split_dcn_axes_falls_back_to_fsdp():
+    from vqgan_tpu.parallel.mesh import split_dcn_axes
+
+    # data extent 3 is indivisible by 2 slices; fsdp=4 takes the DCN split
+    ici, dcn = split_dcn_axes({"data": 3, "fsdp": 4}, 2)
+    assert ici == {"data": 3, "fsdp": 2}
+    assert dcn == {"data": 1, "fsdp": 2}
+
+
+def test_split_dcn_axes_single_slice_identity_and_errors():
+    from vqgan_tpu.parallel.mesh import split_dcn_axes
+
+    shape = {"data": 4, "tensor": 2}
+    ici, dcn = split_dcn_axes(shape, 1)
+    assert ici == shape and all(v == 1 for v in dcn.values())
+    # tensor/context axes never cross DCN — no data-like axis divisible by 2
+    with pytest.raises(ValueError):
+        split_dcn_axes({"data": 3, "tensor": 8}, 2)

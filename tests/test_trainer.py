@@ -236,3 +236,37 @@ def test_trainer_nan_guard_covers_final_save(tmp_path):
     with pytest.raises(DivergenceError):
         trainer.train()
     assert trainer.ckpt.latest_step() is None
+
+
+def test_trainer_resume_reseeds_data_stream(tmp_path):
+    """Preemption-resume must continue on fresh data order, not replay the
+    run's first batches: the train loader's seed folds in the resume step."""
+    cfg = TrainConfig(
+        synthetic_data=True,
+        batch_size=8,
+        image_size=32,
+        max_steps=2,
+        num_epochs=1,
+        evaluate_every_n_steps=0,
+        use_wandb=False,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        run_name="r",
+        log_every=10,
+    )
+    t1 = Trainer(cfg, VAEConfig(**TINY))
+    assert t1._data_epoch_offset(train=True) == 0
+    first_fresh = np.asarray(next(t1._make_loader(True)))
+    t1.train()  # saves the full orbax state at step 2
+
+    # same run dir, no load_path → auto-resume of the full train state
+    t2 = Trainer(cfg, VAEConfig(**TINY))
+    assert int(t2.state.step) == 2
+    assert t2._data_epoch_offset(train=True) == 2
+    first_resumed = np.asarray(next(t2._make_loader(True)))
+    assert not np.allclose(first_fresh, first_resumed)
+    # eval stream stays pinned to the base seed across restarts
+    assert t2._data_epoch_offset(train=False) == 0
+    np.testing.assert_array_equal(
+        np.asarray(next(t1._make_loader(False))),
+        np.asarray(next(t2._make_loader(False))),
+    )

@@ -88,12 +88,45 @@ def init_distributed(
             )
 
 
+def split_dcn_axes(
+    shape: Dict[str, int], n_slices: int
+) -> tuple[Dict[str, int], Dict[str, int]]:
+    """Factor an axis dict into per-slice (ICI) and cross-slice (DCN)
+    extents for a multi-slice TPU job.
+
+    DCN links are orders of magnitude slower than ICI, so only the
+    gradient all-reduce should cross them: all cross-slice parallelism is
+    placed on the first data-like axis whose extent divides by the slice
+    count ("data" preferred, then "fsdp"); tensor/context axes — whose
+    collectives run inside every layer — always stay intra-slice. This is
+    the standard DCN-outermost recipe (jax-ml scaling book; equivalently
+    mesh_utils.create_hybrid_device_mesh's contract).
+    """
+    dcn = {k: 1 for k in shape}
+    if n_slices == 1:
+        return dict(shape), dcn
+    for ax in ("data", "fsdp"):
+        ext = shape.get(ax, 1)
+        if ext >= n_slices and ext % n_slices == 0:
+            ici = dict(shape)
+            ici[ax] = ext // n_slices
+            dcn[ax] = n_slices
+            return ici, dcn
+    raise ValueError(
+        f"no data-like axis in {shape} is divisible by the {n_slices} "
+        f"slices — give 'data' (or 'fsdp') an extent that is a multiple "
+        f"of the slice count"
+    )
+
+
 def create_mesh(
     shape: Optional[Dict[str, int]] = None, devices=None
 ) -> Mesh:
     """Build a Mesh from an axis dict like {"data": -1} or
     {"data": 2, "fsdp": 2, "tensor": 2}; a single -1 axis absorbs the
-    remaining devices."""
+    remaining devices. On a multi-slice job (devices spanning several ICI
+    domains, e.g. DCN-connected v5e pods) the mesh is laid out
+    hybrid-aware: cross-slice traffic is confined to the data axis."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     shape = dict(shape or {"data": -1})
@@ -112,14 +145,27 @@ def create_mesh(
         )
     axis_names = tuple(shape.keys())
     dims = tuple(shape.values())
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
     # ICI-topology-aware device ordering: mesh_utils lays the logical mesh out
     # so neighboring mesh coordinates are ICI neighbors (ring/torus locality
-    # for the collectives XLA inserts). Fall back to a plain reshape off-TPU
-    # or for device subsets.
+    # for the collectives XLA inserts); on multi-slice jobs the hybrid layout
+    # additionally keeps only the data axis crossing DCN. Fall back to a
+    # plain reshape off-TPU or for device subsets.
+    multi_slice = len(slice_ids) > 1 and None not in slice_ids
+    if multi_slice:
+        # raises outside the layout fallback below: an indivisible slice
+        # count is a configuration error, not a layout-heuristic failure
+        ici, dcn = split_dcn_axes(shape, len(slice_ids))
     try:
         from jax.experimental import mesh_utils
 
-        if len(devices) == len(jax.devices()):
+        if multi_slice:
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                tuple(ici[k] for k in axis_names),
+                tuple(dcn[k] for k in axis_names),
+                devices=devices,
+            )
+        elif len(devices) == len(jax.devices()):
             dev_array = mesh_utils.create_device_mesh(dims, devices=devices)
         else:
             dev_array = np.asarray(devices).reshape(dims)

@@ -157,13 +157,26 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
+    def _data_epoch_offset(self, train: bool) -> int:
+        """Deterministic data-stream restart contract: the train stream's
+        seed folds in the resume step, so a preemption-resume at step S
+        continues on a fresh (but reproducible) shard/sample order instead
+        of replaying the run's first batches — the streaming tar reader has
+        no sample-exact cursor, so reseeding-by-step is the restart
+        semantics (grain-style; the reference replays from the start of the
+        shard list on every restart, vae_trainer.py:524). Eval keeps the
+        base seed so the cached eval batches are identical across
+        restarts."""
+        return int(self.state.step) if train else 0
+
     def _make_loader(self, train: bool):
         cfg = self.cfg
+        off = self._data_epoch_offset(train)
         if cfg.synthetic_data or not (
             cfg.dataset_url if train else cfg.test_dataset_url
         ):
             return synthetic_dataloader(
-                self._local_batch(), cfg.image_size, seed=0 if train else 1
+                self._local_batch(), cfg.image_size, seed=(0 if train else 1) + off
             )
         url = cfg.dataset_url if train else cfg.test_dataset_url
         return iter(
@@ -174,7 +187,7 @@ class Trainer:
                 do_shuffle=train,
                 just_resize=not train,
                 width=cfg.image_size,
-                seed=cfg.seed,
+                seed=cfg.seed + 1_000_003 * off,
                 device_normalize=cfg.device_normalize,
             )
         )
