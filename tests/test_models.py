@@ -128,3 +128,34 @@ def test_encoder_decoder_separate_apply():
         np.asarray(dec, np.float32), np.asarray(full_dec, np.float32), rtol=1e-2,
         atol=1e-2,
     )
+
+
+def test_tvae_ring_attention_matches_dense(eight_devices):
+    """TVAE with the T dim sharded over a context axis and ring attention in
+    the mid blocks reproduces the dense forward bit-for-bit-ish; param trees
+    are identical, so checkpoints interchange freely."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.models.tae import TVAE
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "context"))
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+        compute_dtype="float32",
+    )
+    dense = TVAE(cfg=cfg)
+    ring = TVAE(cfg=cfg, mesh=mesh, ring_axis="context")
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 16, 16, 3).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
+    params = dense.init(rngs, x)["params"]
+    d1, z1 = dense.apply({"params": params}, x, rngs={"sample": jax.random.PRNGKey(3)})
+    with mesh:
+        xb = jax.device_put(x, NamedSharding(mesh, P("data", "context")))
+        d2, z2 = jax.jit(
+            lambda p, xx: ring.apply(
+                {"params": p}, xx, rngs={"sample": jax.random.PRNGKey(3)}
+            )
+        )(params, xb)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=3e-4)

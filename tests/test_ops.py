@@ -106,3 +106,41 @@ def test_gradnorm_backward():
 def test_gradnorm_identity_forward():
     x = jnp.arange(6.0).reshape(2, 3)
     np.testing.assert_array_equal(np.asarray(gradnorm(x, 0.123)), np.asarray(x))
+
+
+def test_ring_attention_matches_dense(eight_devices):
+    """Exact full attention with k/v rotating over the mesh ring: forward
+    and gradients match jax.nn.dot_product_attention (ops/ring_attention.py)."""
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vqgan_tpu.ops.ring_attention import ring_attention
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("context",))
+    rng = np.random.RandomState(0)
+    b, n, h, d = 2, 32, 2, 8
+    q, k, v = (
+        jnp.asarray(rng.randn(b, n, h, d).astype(np.float32)) for _ in range(3)
+    )
+    ref = jax.nn.dot_product_attention(q, k, v)
+    f = jax.jit(
+        jax.shard_map(
+            functools.partial(ring_attention, axis_name="context"),
+            mesh=mesh,
+            in_specs=(P(None, "context", None, None),) * 3,
+            out_specs=P(None, "context", None, None),
+        )
+    )
+    np.testing.assert_allclose(np.asarray(f(q, k, v)), np.asarray(ref), atol=2e-5)
+
+    co = jnp.asarray(rng.randn(b, n, h, d).astype(np.float32))
+    g_ref = jax.grad(
+        lambda q, k, v: (jax.nn.dot_product_attention(q, k, v) * co).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_ring = jax.grad(
+        lambda q, k, v: (f(q, k, v) * co).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b_ in zip(g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-5)

@@ -41,3 +41,46 @@ def test_trainer3d_learns(tmp_path):
         losses.append(float(metrics["recon_l2"]))
     assert all(np.isfinite(losses))
     assert np.mean(losses[-3:]) < losses[0], losses
+
+
+def test_trainer3d_context_ring_attention(tmp_path):
+    """Trainer3D on a data×context mesh: the clip's T dim is sharded and the
+    mid-block attentions run as ring attention; two steps stay finite."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    cfg = TrainConfig(
+        batch_size=4,
+        max_steps=2,
+        run_name="t3dring",
+        use_wandb=False,
+        ckpt_dir=str(tmp_path),
+        log_every=1,
+        mesh_shape="data=2,context=4",
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=8)
+    assert trainer.model.ring_axis == "context"
+    src = synthetic_video_batches(4, 8, 16, seed=7)
+    batch = jax.device_put(next(src), trainer.batch_shard)
+    for _ in range(2):
+        trainer.params, trainer.opt_state, trainer.rng, metrics = trainer._step(
+            trainer.params, trainer.opt_state, batch, trainer.rng
+        )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer3d_context_divisibility_error(tmp_path):
+    import pytest
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+    )
+    cfg = TrainConfig(
+        batch_size=4, max_steps=1, run_name="bad", use_wandb=False,
+        ckpt_dir=str(tmp_path), mesh_shape="data=2,context=4",
+    )
+    with pytest.raises(ValueError, match="context extent"):
+        Trainer3D(cfg, tvae_cfg, frames=6)  # t_mid=3 not divisible by 4

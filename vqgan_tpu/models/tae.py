@@ -103,10 +103,20 @@ class ResnetBlock3D(nn.Module):
 
 class AttnBlock3D(nn.Module):
     """Self-attention over flattened (t·h·w) tokens, fixed 8 heads
-    (reference tae.py:13-54)."""
+    (reference tae.py:13-54).
+
+    Long-video scale-out: with ``mesh``/``ring_axis`` set (and that axis
+    wider than 1), the T dim is treated as sharded over the axis and the
+    attention runs as exact ring attention (ops/ring_attention.py) — k/v
+    blocks rotate over ICI, no chip ever holds the full (t·h·w)² score
+    matrix. Numerically identical to the dense path (tests/test_ops.py,
+    tests/test_models.py::test_tvae_ring_attention_matches_dense).
+    """
 
     dtype: Dtype = jnp.float32
     num_heads: int = 8
+    mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -124,11 +134,51 @@ class AttnBlock3D(nn.Module):
         )(hn)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(z):
-            return z.reshape(b, t * h * w, self.num_heads, head_dim)
+        ring = (
+            self.ring_axis is not None
+            and self.mesh is not None
+            and self.mesh.shape.get(self.ring_axis, 1) > 1
+        )
+        if ring:
+            from jax.sharding import PartitionSpec as P
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(b, t, h, w, c)
+            from vqgan_tpu.ops.ring_attention import ring_attention
+
+            # shard batch over the data-like axes too when divisible, so the
+            # ring path composes with data parallelism without resharding
+            data_axes = tuple(
+                a for a in ("data", "fsdp")
+                if self.mesh.shape.get(a, 1) > 1
+            )
+            n_data = 1
+            for a in data_axes:
+                n_data *= self.mesh.shape[a]
+            bspec = data_axes if (data_axes and b % n_data == 0) else None
+            spec = P(bspec, self.ring_axis, None, None, None)
+            nh, hd, ax = self.num_heads, head_dim, self.ring_axis
+
+            def local_attn(ql, kl, vl):
+                bb, tl, hh, ww, cc = ql.shape
+
+                def r(z):
+                    return z.reshape(bb, tl * hh * ww, nh, hd)
+
+                o = ring_attention(r(ql), r(kl), r(vl), ax)
+                return o.reshape(bb, tl, hh, ww, cc)
+
+            out = jax.shard_map(
+                local_attn,
+                mesh=self.mesh,
+                in_specs=(spec,) * 3,
+                out_specs=spec,
+            )(q, k, v)
+        else:
+
+            def heads(z):
+                return z.reshape(b, t * h * w, self.num_heads, head_dim)
+
+            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+            out = out.reshape(b, t, h, w, c)
         out = nn.Conv(
             c,
             (1, 1, 1),
@@ -204,6 +254,8 @@ class Encoder3D(nn.Module):
     z_channels: int
     double_z: bool = True
     dtype: Dtype = jnp.float32
+    mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -219,7 +271,8 @@ class Encoder3D(nn.Module):
             )(h)
         block_in = self.ch * self.ch_mult[-1]
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock3D(dtype=self.dtype, name="mid_attn_1")(h)
+        h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
+                        ring_axis=self.ring_axis, name="mid_attn_1")(h)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
         h = GroupNorm3D(name="norm_out")(h)
         h = jax.nn.silu(h)
@@ -236,6 +289,8 @@ class Decoder3D(nn.Module):
     ch_mult: Tuple[int, ...]
     num_res_blocks: int
     dtype: Dtype = jnp.float32
+    mesh: Any = None
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -243,7 +298,8 @@ class Decoder3D(nn.Module):
         block_in = self.ch * self.ch_mult[-1]
         h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock3D(dtype=self.dtype, name="mid_attn_1")(h)
+        h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
+                        ring_axis=self.ring_axis, name="mid_attn_1")(h)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
         for i in reversed(range(n)):
             h = UpLevel3D(
@@ -261,9 +317,18 @@ class Decoder3D(nn.Module):
 
 class TVAE(nn.Module):
     """Encoder + real DiagonalGaussian (or VQ) + decoder
-    (reference tae.py:269-297). ``__call__`` returns (decoded, z)."""
+    (reference tae.py:269-297). ``__call__`` returns (decoded, z).
+
+    ``mesh`` + ``ring_axis``: run the mid-block attentions as exact ring
+    attention with the video's T dim sharded over that mesh axis (long-clip
+    sequence parallelism; convs are partitioned by GSPMD from the batch
+    sharding, attention by ops/ring_attention.py). Parameter trees are
+    identical with or without it — checkpoints interchange freely.
+    """
 
     cfg: TVAEConfig
+    mesh: Any = None
+    ring_axis: str | None = None
 
     def setup(self):
         dtype = DTYPES[self.cfg.compute_dtype]
@@ -275,6 +340,8 @@ class TVAE(nn.Module):
             z_channels=self.cfg.z_channels,
             double_z=double_z,
             dtype=dtype,
+            mesh=self.mesh,
+            ring_axis=self.ring_axis,
         )
         self.decoder = Decoder3D(
             ch=self.cfg.ch,
@@ -282,6 +349,8 @@ class TVAE(nn.Module):
             ch_mult=tuple(self.cfg.ch_mult),
             num_res_blocks=self.cfg.num_res_blocks,
             dtype=dtype,
+            mesh=self.mesh,
+            ring_axis=self.ring_axis,
         )
         if self.cfg.reg_type == "gaussian":
             self.reg = DiagonalGaussian()

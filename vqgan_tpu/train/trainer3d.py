@@ -90,7 +90,22 @@ class Trainer3D:
         self.tvae_cfg = tvae_cfg
         self.frames = frames
         self.mesh = create_mesh(parse_mesh_shape(cfg.mesh_shape))
-        self.model = TVAE(cfg=tvae_cfg)
+        # context axis > 1: shard the clip's T dim (batch_sharding ndim=5
+        # puts "context" on dim 1) and run the mid-block attentions as exact
+        # ring attention (ops/ring_attention.py) — long-clip sequence
+        # parallelism, same params/numerics as the dense path
+        n_ctx = self.mesh.shape.get("context", 1)
+        if n_ctx > 1:
+            t_mid = frames // 2 ** (len(tvae_cfg.ch_mult) - 1)
+            if t_mid % n_ctx:
+                raise ValueError(
+                    f"mid-block temporal extent {t_mid} (frames {frames} / "
+                    f"2^{len(tvae_cfg.ch_mult) - 1} downsamples) must divide "
+                    f"by the context extent {n_ctx}"
+                )
+            self.model = TVAE(cfg=tvae_cfg, mesh=self.mesh, ring_axis="context")
+        else:
+            self.model = TVAE(cfg=tvae_cfg)
         rng = jax.random.PRNGKey(cfg.seed)
         x0 = jnp.zeros((1, frames, tvae_cfg.resolution, tvae_cfg.resolution, 3))
         self.params = self.model.init({"params": rng, "sample": rng}, x0)["params"]
