@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from vqgan_tpu.config import VAEConfig
 from vqgan_tpu.export import ExportedVAE, export_vae
@@ -72,10 +73,37 @@ def test_exported_gaussian_reg_returns_mean(tmp_path):
     assert z.shape == (1, 16, 16, 8)  # mean half of 2*z_channels
 
 
-def test_export_rejects_pallas_and_vq(tmp_path):
+def test_export_rejects_pallas_and_missing_vq_ema(tmp_path):
     cfg = VAEConfig(**TINY, use_pallas_gn=True)
     _, params = init_vae_params(VAEConfig(**TINY), jax.random.PRNGKey(3))
     with pytest.raises(ValueError):
         export_vae(cfg, params, str(tmp_path))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="vq_ema"):
         export_vae(VAEConfig(**TINY, reg_type="vq"), params, str(tmp_path))
+
+
+def test_exported_vq_quantizes(tmp_path):
+    """VQ export bakes in nearest-code quantization: every encoded latent
+    vector is exactly a codebook row, and decode round-trips."""
+    from vqgan_tpu.models.ae import VAE
+
+    cfg = VAEConfig(**TINY, reg_type="vq", vq_codebook_size=32)
+    model = VAE(cfg=cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    rng = jax.random.PRNGKey(4)
+    variables = model.init({"params": rng, "sample": rng}, x0)
+    export_vae(
+        cfg, variables["params"], str(tmp_path),
+        vq_ema=variables["vq_ema"], platforms=("cpu",),
+    )
+    loaded = ExportedVAE.load(str(tmp_path))
+    assert loaded.manifest["reg_type"] == "vq"
+    imgs = (np.random.RandomState(4).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    z = loaded.encode(imgs)
+    assert z.shape == (2, 16, 16, 8)
+    codebook = np.asarray(variables["params"]["reg"]["codebook"])
+    flat = z.reshape(-1, 8)
+    dists = ((flat[:, None, :] - codebook[None]) ** 2).sum(-1)
+    assert float(dists.min(axis=1).max()) < 1e-9  # every vector is a code
+    recon = loaded.decode(z)
+    assert recon.shape == (2, 32, 32, 3)

@@ -51,3 +51,29 @@ def test_pipeline_gaussian_reg_takes_mean(tmp_path):
     assert z.shape == (1, 16, 16, 8)  # mean half of 2*z_channels
     recon = pipe.decode(z)
     assert recon.shape == (1, 32, 32, 3)
+
+
+def test_pipeline_vq_quantizes(tmp_path):
+    """VQ pipeline: encode returns nearest-code embeddings (every latent
+    vector is a codebook row)."""
+    from vqgan_tpu.models.ae import VAE
+
+    cfg = VAEConfig(**TINY, reg_type="vq", vq_codebook_size=32)
+    model = VAE(cfg=cfg)
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(5)
+    variables = model.init(
+        {"params": rng, "sample": rng}, jnp.zeros((1, 32, 32, 3))
+    )
+    pipe = VAEPipeline(cfg, variables["params"], vq_ema=variables["vq_ema"])
+    imgs = (np.random.RandomState(5).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    z = np.asarray(pipe.encode(imgs))
+    codebook = np.asarray(variables["params"]["reg"]["codebook"])
+    dists = ((z.reshape(-1, 8)[:, None, :] - codebook[None]) ** 2).sum(-1)
+    assert float(dists.min(axis=1).max()) < 1e-9
+    # missing vq_ema is a clear error, not a crash at apply time
+    import pytest
+
+    with pytest.raises(ValueError, match="vq_ema"):
+        VAEPipeline(cfg, variables["params"])

@@ -84,3 +84,30 @@ def test_trainer3d_context_divisibility_error(tmp_path):
     )
     with pytest.raises(ValueError, match="context extent"):
         Trainer3D(cfg, tvae_cfg, frames=6)  # t_mid=3 not divisible by 4
+
+
+def test_trainer3d_checkpoint_resume(tmp_path):
+    """Trainer3D saves the full (params, opt, rng, step) state and a fresh
+    Trainer3D in the same run dir resumes it exactly."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_steps=2, run_name="t3dres", use_wandb=False,
+        ckpt_dir=str(tmp_path), log_every=100, evaluate_every_n_steps=0,
+    )
+    t1 = Trainer3D(cfg, tvae_cfg, frames=4)
+    final_params = t1.train()
+
+    t2 = Trainer3D(cfg, tvae_cfg, frames=4)
+    assert t2.start_step == 2
+    a = jax.tree_util.tree_leaves(final_params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    assert max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max()) for x, y in zip(a, b)
+    ) < 1e-7
+    # resumed training continues past max_steps without re-running steps
+    t2.train()  # start_step == max_steps → zero additional steps, clean exit

@@ -171,6 +171,12 @@ def train(**kw):
 @click.option("--use_wandb", type=bool, default=True)
 @click.option("--log_every", type=int, default=5)
 @click.option("--eval_batches", type=int, default=2)
+@click.option("--evaluate_every_n_steps", type=int, default=250,
+              help="Checkpoint cadence (0 = final save only)")
+@click.option("--ckpt_dir", type=str, default="./ckpt")
+@click.option("--load_path", type=str, default=None,
+              help="Weights to start from (orbax dir); otherwise the run "
+                   "dir's latest full state auto-resumes")
 @click.option("--seed", type=int, default=42)
 def train3d(**kw):
     """Train the 3D video VAE (TVAE, reference tae.py) on synthetic clips —
@@ -196,6 +202,9 @@ def train3d(**kw):
         use_wandb=kw["use_wandb"],
         log_every=kw["log_every"],
         eval_batches=kw["eval_batches"],
+        evaluate_every_n_steps=kw["evaluate_every_n_steps"],
+        ckpt_dir=kw["ckpt_dir"],
+        load_path=kw["load_path"],
         seed=kw["seed"],
     )
     Trainer3D(cfg, tvae_cfg, frames=kw["frames"]).train()

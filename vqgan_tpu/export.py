@@ -53,36 +53,45 @@ def export_vae(
     do_clamp: bool = True,
     clamp_th: float = 8.0,
     platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+    vq_ema=None,
 ) -> None:
     """Write a self-contained serving artifact for ``VAE(cfg)`` + ``params``.
 
     The batch dimension is symbolic — one artifact serves any batch size.
     Spatial dims are static at ``cfg.resolution`` (stride-2 conv shapes are
     resolution-dependent; export one artifact per serving resolution).
+
+    VQ models: ``encode`` bakes in nearest-code quantization (returns the
+    quantized embeddings); pass the train state's ``vq_ema`` collection when
+    ``cfg.vq_ema_decay > 0`` (its stats variables are part of the module).
     """
     if cfg.use_pallas_gn:
         raise ValueError(
             "export requires platform-portable HLO; re-instantiate the "
             "config with use_pallas_gn=False (weights are unaffected)"
         )
-    if cfg.reg_type == "vq":
-        raise NotImplementedError(
-            "vq export needs the codebook EMA collection plumbed through; "
-            "export identity_gaussian/gaussian models"
+    if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0 and vq_ema is None:
+        raise ValueError(
+            "exporting an EMA-codebook VQ model requires the train state's "
+            "vq_ema collection (pass vq_ema=state.vq_ema)"
         )
     model = VAE(cfg=cfg)
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    if vq_ema is not None:
+        variables["vq_ema"] = jax.tree_util.tree_map(jnp.asarray, vq_ema)
 
     def encode_fn(x):
-        z = model.apply({"params": params}, x, method=model.encode)
+        z = model.apply(variables, x, method=model.encode)
         if do_clamp:
             z = jnp.clip(z, -clamp_th, clamp_th)
         if cfg.reg_type == "gaussian":
             z = jnp.split(z, 2, axis=-1)[0]  # mean
+        elif cfg.reg_type == "vq":
+            z, _ = model.apply(variables, z, False, method=model.regularize)
         return z.astype(jnp.float32)
 
     def decode_fn(z):
-        dec = model.apply({"params": params}, z, method=model.decode)
+        dec = model.apply(variables, z, method=model.decode)
         return jnp.clip(dec.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
 
     (b,) = jax_export.symbolic_shape("b")
@@ -106,6 +115,7 @@ def export_vae(
         "jax_version": jax.__version__,
         "platforms": list(platforms),
         "vae_config": dataclasses.asdict(cfg),
+        "reg_type": cfg.reg_type,
         "do_clamp": do_clamp,
         "clamp_th": clamp_th,
         "encode_input": ["b", res, res, cfg.in_channels],

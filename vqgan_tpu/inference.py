@@ -24,17 +24,32 @@ from vqgan_tpu.models.ae import VAE
 
 class VAEPipeline:
     def __init__(self, cfg: VAEConfig, params, do_clamp: bool = True,
-                 clamp_th: float = 8.0):
+                 clamp_th: float = 8.0, vq_ema=None):
+        if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0 and vq_ema is None:
+            raise ValueError(
+                "an EMA-codebook VQ model needs the train state's vq_ema "
+                "collection (pass vq_ema=state.vq_ema)"
+            )
         self.cfg = cfg
         self.model = VAE(cfg=cfg)
         self.params = params
+        self.vq_ema = vq_ema
         self.do_clamp = do_clamp
         self.clamp_th = clamp_th
+
+        def _vars(p):
+            return {"params": p, "vq_ema": vq_ema} if vq_ema is not None else {"params": p}
+
         self._encode = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, method=self.model.encode)
+            lambda p, x: self.model.apply(_vars(p), x, method=self.model.encode)
         )
         self._decode = jax.jit(
-            lambda p, z: self.model.apply({"params": p}, z, method=self.model.decode)
+            lambda p, z: self.model.apply(_vars(p), z, method=self.model.decode)
+        )
+        self._quantize = jax.jit(
+            lambda p, z: self.model.apply(
+                _vars(p), z, False, method=self.model.regularize
+            )[0]
         )
 
     @classmethod
@@ -63,6 +78,8 @@ class VAEPipeline:
             z = jnp.clip(z, -self.clamp_th, self.clamp_th)
         if self.cfg.reg_type == "gaussian":
             z = jnp.split(z, 2, axis=-1)[0]  # mean
+        elif self.cfg.reg_type == "vq":
+            z = self._quantize(self.params, z)  # nearest-code embeddings
         return z
 
     def decode(self, z) -> np.ndarray:

@@ -126,6 +126,46 @@ class Trainer3D:
             out_dir=f"{cfg.ckpt_dir}/{cfg.run_name}",
             is_master=jax.process_index() == 0,
         )
+        # full-state checkpointing + auto-resume, like the 2D Trainer (the
+        # reference has no 3D trainer at all; a trainer without resume would
+        # be incomplete for long video runs)
+        from vqgan_tpu.train.checkpoint import CheckpointManager
+
+        self.start_step = 0
+        self.ckpt = CheckpointManager(f"{cfg.ckpt_dir}/{cfg.run_name}/orbax")
+        if cfg.load_path:
+            from vqgan_tpu.train.checkpoint import load_weights
+
+            loaded = load_weights(cfg.load_path)
+            self.params = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype), self.params, loaded
+            )
+        elif self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(self._host_state())
+            if restored is not None:
+                self.params = jax.device_put(
+                    restored["params"], replicated(self.mesh)
+                )
+                self.opt_state = jax.device_put(
+                    restored["opt_state"], replicated(self.mesh)
+                )
+                self.rng = jnp.asarray(restored["rng"])
+                self.start_step = int(restored["step"])
+                self.logger.info(f"Resumed 3D train state from step {self.start_step}")
+
+    def _host_state(self):
+        return jax.device_get(
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "rng": self.rng,
+                "step": np.asarray(self.start_step),
+            }
+        )
+
+    def save(self, step_i: int) -> None:
+        self.start_step = step_i
+        self.ckpt.save(step_i, self._host_state())
 
     def train(self):
         cfg = self.cfg
@@ -133,9 +173,10 @@ class Trainer3D:
             cfg.batch_size // jax.process_count(),
             self.frames,
             self.tvae_cfg.resolution,
-            seed=cfg.seed,
+            seed=cfg.seed + self.start_step,  # fresh data order on resume
         )
-        for step_i in range(cfg.max_steps):
+        step_i = self.start_step
+        for step_i in range(self.start_step, cfg.max_steps):
             batch = jax.device_put(next(src), self.batch_shard)
             self.params, self.opt_state, self.rng, metrics = self._step(
                 self.params, self.opt_state, batch, self.rng
@@ -146,5 +187,12 @@ class Trainer3D:
                 self.logger.info(
                     f"3d step {step_i}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
                 )
+            if (
+                cfg.evaluate_every_n_steps > 0
+                and (step_i + 1) % cfg.evaluate_every_n_steps == 1
+            ):
+                self.save(step_i + 1)
+        self.save(cfg.max_steps)
+        self.ckpt.wait()
         self.logger.close()
         return self.params
