@@ -77,3 +77,7 @@ def test_pipeline_vq_quantizes(tmp_path):
 
     with pytest.raises(ValueError, match="vq_ema"):
         VAEPipeline(cfg, variables["params"])
+    # serving a VQ checkpoint under a non-vq config must fail loudly, not
+    # silently skip quantization
+    with pytest.raises(ValueError, match="codebook"):
+        VAEPipeline(VAEConfig(**TINY), variables["params"])

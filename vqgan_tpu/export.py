@@ -75,6 +75,9 @@ def export_vae(
             "exporting an EMA-codebook VQ model requires the train state's "
             "vq_ema collection (pass vq_ema=state.vq_ema)"
         )
+    from vqgan_tpu.inference import check_reg_matches_params
+
+    check_reg_matches_params(cfg, params)
     model = VAE(cfg=cfg)
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
     if vq_ema is not None:
@@ -152,12 +155,9 @@ class ExportedVAE:
 
     @staticmethod
     def _to_model_input(images) -> jax.Array:
-        x = np.asarray(images)
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 127.5 - 1.0
-        if x.ndim == 3:
-            x = x[None]
-        return jnp.asarray(x, jnp.float32)
+        from vqgan_tpu.inference import VAEPipeline
+
+        return jnp.asarray(VAEPipeline._to_model_input(images), jnp.float32)
 
     def encode(self, images) -> np.ndarray:
         """Images (B,H,W,3) uint8 [0,255] or float [-1,1] → latents."""
@@ -174,37 +174,19 @@ class ExportedVAE:
 def _main():
     import click
 
-    from vqgan_tpu.config import parse_ch_mult
+    from vqgan_tpu.inference import build_vae_config, vae_arch_click_options
 
     @click.command()
     @click.option("--checkpoint", required=True, help="torch .pt or orbax weights dir")
     @click.option("--out_dir", required=True)
-    @click.option("--vae_ch", type=int, default=256)
-    @click.option("--vae_ch_mult", type=str, default="1,2,4,4")
-    @click.option("--vae_z_channels", type=int, default=16)
-    @click.option("--vae_num_res_blocks", type=int, default=2)
-    @click.option("--vae_resolution", type=int, default=256)
-    @click.option("--use_wavelet", type=bool, default=False)
-    @click.option("--do_attn", type=bool, default=False)
-    @click.option("--decoder_also_perform_hr", type=bool, default=False)
     @click.option("--do_clamp", type=bool, default=True)
     @click.option("--clamp_th", type=float, default=8.0)
     @click.option("--platforms", type=str, default="cpu,tpu")
-    def run(checkpoint, out_dir, vae_ch, vae_ch_mult, vae_z_channels,
-            vae_num_res_blocks, vae_resolution, use_wavelet, do_attn,
-            decoder_also_perform_hr, do_clamp, clamp_th, platforms):
+    @vae_arch_click_options
+    def run(checkpoint, out_dir, do_clamp, clamp_th, platforms, **kw):
         from vqgan_tpu.train.checkpoint import load_weights
 
-        cfg = VAEConfig(
-            resolution=vae_resolution,
-            ch=vae_ch,
-            ch_mult=parse_ch_mult(vae_ch_mult),
-            z_channels=vae_z_channels,
-            num_res_blocks=vae_num_res_blocks,
-            use_wavelet=use_wavelet,
-            use_attn=do_attn,
-            decoder_also_perform_hr=decoder_also_perform_hr,
-        )
+        cfg = build_vae_config(kw)
         params = load_weights(checkpoint)
         export_vae(
             cfg, params, out_dir,

@@ -22,6 +22,69 @@ from vqgan_tpu.config import VAEConfig
 from vqgan_tpu.models.ae import VAE
 
 
+def check_reg_matches_params(cfg: VAEConfig, params) -> None:
+    """A VQ-trained checkpoint carries params['reg']['codebook']; serving it
+    with a non-vq config would silently skip quantization (flax ignores
+    unused subtrees). Fail loudly instead."""
+    has_codebook = (
+        isinstance(params, dict)
+        and isinstance(params.get("reg"), dict)
+        and "codebook" in params["reg"]
+    )
+    if has_codebook and cfg.reg_type != "vq":
+        raise ValueError(
+            "checkpoint contains a VQ codebook (params['reg']['codebook']) "
+            f"but reg_type is '{cfg.reg_type}' — pass --reg_type vq, or the "
+            "served latents would silently bypass quantization"
+        )
+    if cfg.reg_type == "vq" and not has_codebook:
+        raise ValueError("reg_type='vq' but the checkpoint has no codebook")
+
+
+def vae_arch_click_options(fn):
+    """The shared --vae_* CLI block for the inference and export commands —
+    one source so the two surfaces cannot drift."""
+    import click
+
+    opts = [
+        click.option("--vae_ch", type=int, default=256),
+        click.option("--vae_ch_mult", type=str, default="1,2,4,4"),
+        click.option("--vae_z_channels", type=int, default=16),
+        click.option("--vae_num_res_blocks", type=int, default=2),
+        click.option("--vae_resolution", type=int, default=256),
+        click.option("--use_wavelet", type=bool, default=False),
+        click.option("--do_attn", type=bool, default=False),
+        click.option("--decoder_also_perform_hr", type=bool, default=False),
+        click.option("--reg_type", type=str, default="identity_gaussian",
+                     help="identity_gaussian | gaussian | vq"),
+        click.option("--vq_codebook_size", type=int, default=16384),
+    ]
+    for o in reversed(opts):
+        fn = o(fn)
+    return fn
+
+
+def build_vae_config(kw: dict) -> VAEConfig:
+    """VAEConfig from the vae_arch_click_options kwargs. vq_ema_decay is 0
+    for serving: quantization then reads the codebook purely from params and
+    declares no EMA-stats collection (which checkpoints don't ship)."""
+    from vqgan_tpu.config import parse_ch_mult
+
+    return VAEConfig(
+        resolution=kw["vae_resolution"],
+        ch=kw["vae_ch"],
+        ch_mult=parse_ch_mult(kw["vae_ch_mult"]),
+        z_channels=kw["vae_z_channels"],
+        num_res_blocks=kw["vae_num_res_blocks"],
+        use_wavelet=kw["use_wavelet"],
+        use_attn=kw["do_attn"],
+        decoder_also_perform_hr=kw["decoder_also_perform_hr"],
+        reg_type=kw["reg_type"],
+        vq_codebook_size=kw["vq_codebook_size"],
+        vq_ema_decay=0.0,
+    )
+
+
 class VAEPipeline:
     def __init__(self, cfg: VAEConfig, params, do_clamp: bool = True,
                  clamp_th: float = 8.0, vq_ema=None):
@@ -30,6 +93,7 @@ class VAEPipeline:
                 "an EMA-codebook VQ model needs the train state's vq_ema "
                 "collection (pass vq_ema=state.vq_ema)"
             )
+        check_reg_matches_params(cfg, params)
         self.cfg = cfg
         self.model = VAE(cfg=cfg)
         self.params = params
@@ -98,36 +162,16 @@ def _main():
     @click.option("--checkpoint", required=True)
     @click.option("--images", required=True, help="space-separated image paths")
     @click.option("--out_dir", default="./recon")
-    @click.option("--vae_ch", type=int, default=256)
-    @click.option("--vae_ch_mult", type=str, default="1,2,4,4")
-    @click.option("--vae_z_channels", type=int, default=16)
-    @click.option("--vae_num_res_blocks", type=int, default=2)
-    @click.option("--vae_resolution", type=int, default=256)
-    @click.option("--use_wavelet", type=bool, default=False)
-    @click.option("--do_attn", type=bool, default=False)
-    @click.option("--decoder_also_perform_hr", type=bool, default=False)
-    def reconstruct(checkpoint, images, out_dir, vae_ch, vae_ch_mult,
-                    vae_z_channels, vae_num_res_blocks, vae_resolution,
-                    use_wavelet, do_attn, decoder_also_perform_hr):
+    @vae_arch_click_options
+    def reconstruct(checkpoint, images, out_dir, **kw):
         from PIL import Image
 
-        from vqgan_tpu.config import parse_ch_mult
-
-        cfg = VAEConfig(
-            resolution=vae_resolution,
-            ch=vae_ch,
-            ch_mult=parse_ch_mult(vae_ch_mult),
-            z_channels=vae_z_channels,
-            num_res_blocks=vae_num_res_blocks,
-            use_wavelet=use_wavelet,
-            use_attn=do_attn,
-            decoder_also_perform_hr=decoder_also_perform_hr,
-        )
+        cfg = build_vae_config(kw)
         pipe = VAEPipeline.from_checkpoint(checkpoint, cfg)
         os.makedirs(out_dir, exist_ok=True)
         for path in images.split():
             img = Image.open(path).convert("RGB")
-            s = vae_resolution
+            s = cfg.resolution
             img = img.resize((s, s))
             recon = pipe.reconstruct(np.asarray(img, np.uint8))[0]
             out_path = os.path.join(

@@ -43,8 +43,7 @@ def ring_attention(
     qf = q.astype(jnp.float32) * scale
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-    def step(carry, _):
-        o, m, l, kb, vb = carry
+    def accumulate(o, m, l, kb, vb):
         # scores for this key block: (B, H, Nq, Nk)
         s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb.astype(jnp.float32))
         m_new = jnp.maximum(m, s.max(axis=-1))
@@ -54,11 +53,16 @@ def ring_attention(
         o = o * corr[..., None] + jnp.einsum(
             "bhqk,bkhd->bhqd", p, vb.astype(jnp.float32)
         )
+        return o, m_new, l
+
+    def step(carry, _):
+        o, m, l, kb, vb = carry
+        o, m, l = accumulate(o, m, l, kb, vb)
         # rotate k/v to the next ring position; XLA overlaps this ICI
         # transfer with the next step's matmuls
         kb = lax.ppermute(kb, axis_name, perm)
         vb = lax.ppermute(vb, axis_name, perm)
-        return (o, m_new, l, kb, vb), None
+        return (o, m, l, kb, vb), None
 
     # shard_map's varying-manual-axes typing requires the initial carry to
     # vary over the same mesh axes as the scan outputs; deriving the zeros
@@ -68,8 +72,12 @@ def ring_attention(
     o0 = zq
     m0 = zq[..., 0] - jnp.inf
     l0 = zq[..., 0]
-    (o, m, l, _, _), _ = lax.scan(
-        step, (o0, m0, l0, k, v), None, length=n_shards
+    # n_shards-1 accumulate+rotate rounds, then one final accumulate with no
+    # rotation — the last ppermute's result would be discarded, and on real
+    # hardware each skipped rotation saves a full k/v block transfer per ring
+    (o, m, l, kb, vb), _ = lax.scan(
+        step, (o0, m0, l0, k, v), None, length=n_shards - 1
     )
+    o, m, l = accumulate(o, m, l, kb, vb)
     out = o / l[..., None]
     return out.transpose(0, 2, 1, 3).astype(in_dtype)  # (B, Nq, H, D)

@@ -156,16 +156,22 @@ def create_mesh(
         # raises outside the layout fallback below: an indivisible slice
         # count is a configuration error, not a layout-heuristic failure
         ici, dcn = split_dcn_axes(shape, len(slice_ids))
+    if multi_slice:
+        # never fall back silently here: a slice-oblivious reshape would put
+        # per-layer collectives on DCN — the exact layout split_dcn_axes
+        # exists to prevent — so hybrid-layout failures must surface
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            tuple(ici[k] for k in axis_names),
+            tuple(dcn[k] for k in axis_names),
+            devices=devices,
+        )
+        return Mesh(dev_array, axis_names)
     try:
         from jax.experimental import mesh_utils
 
-        if multi_slice:
-            dev_array = mesh_utils.create_hybrid_device_mesh(
-                tuple(ici[k] for k in axis_names),
-                tuple(dcn[k] for k in axis_names),
-                devices=devices,
-            )
-        elif len(devices) == len(jax.devices()):
+        if len(devices) == len(jax.devices()):
             dev_array = mesh_utils.create_device_mesh(dims, devices=devices)
         else:
             dev_array = np.asarray(devices).reshape(dims)

@@ -175,10 +175,18 @@ class Trainer:
         if cfg.synthetic_data or not (
             cfg.dataset_url if train else cfg.test_dataset_url
         ):
+            # multiplicative fold (like the tar path below) so a resumed
+            # train stream can never collide with the eval stream's seed 1
             return synthetic_dataloader(
-                self._local_batch(), cfg.image_size, seed=(0 if train else 1) + off
+                self._local_batch(),
+                cfg.image_size,
+                seed=(0 if train else 1) + 1_000_003 * off,
             )
         url = cfg.dataset_url if train else cfg.test_dataset_url
+        # indexed mode: the batch at step S is position-addressed, so resume
+        # is sample-exact — the base seed stays fixed and start_step does the
+        # fast-forward (no reseeding needed)
+        indexed = cfg.indexed_data and train
         return iter(
             create_dataloader(
                 url,
@@ -187,8 +195,10 @@ class Trainer:
                 do_shuffle=train,
                 just_resize=not train,
                 width=cfg.image_size,
-                seed=cfg.seed + 1_000_003 * off,
+                seed=cfg.seed if indexed else cfg.seed + 1_000_003 * off,
                 device_normalize=cfg.device_normalize,
+                indexed=indexed,
+                start_step=off if indexed else 0,
             )
         )
 

@@ -167,6 +167,22 @@ class Trainer3D:
         self.start_step = step_i
         self.ckpt.save(step_i, self._host_state())
 
+    def _guard_finite(self, metrics, step_i: int) -> None:
+        """NaN guard at every checkpoint site (same invariant as the 2D
+        Trainer): halt instead of overwriting the last good state."""
+        if not self.cfg.nan_guard or metrics is None:
+            return
+        vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        bad = {k: v for k, v in vals.items() if not np.isfinite(v)}
+        if bad:
+            from vqgan_tpu.train.trainer import DivergenceError
+
+            self.logger.info(
+                f"NaN guard tripped at 3d step {step_i}: {bad} — halting "
+                f"without checkpointing"
+            )
+            raise DivergenceError(f"non-finite metrics at step {step_i}: {bad}")
+
     def train(self):
         cfg = self.cfg
         src = synthetic_video_batches(
@@ -175,7 +191,7 @@ class Trainer3D:
             self.tvae_cfg.resolution,
             seed=cfg.seed + self.start_step,  # fresh data order on resume
         )
-        step_i = self.start_step
+        metrics = None
         for step_i in range(self.start_step, cfg.max_steps):
             batch = jax.device_put(next(src), self.batch_shard)
             self.params, self.opt_state, self.rng, metrics = self._step(
@@ -187,11 +203,13 @@ class Trainer3D:
                 self.logger.info(
                     f"3d step {step_i}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
                 )
-            if (
-                cfg.evaluate_every_n_steps > 0
-                and (step_i + 1) % cfg.evaluate_every_n_steps == 1
-            ):
+            # cadence: % n == 1 (2D-reference convention); n == 1 means every
+            # step — the bare modulo form never fires for n=1
+            n = cfg.evaluate_every_n_steps
+            if n > 0 and (n == 1 or (step_i + 1) % n == 1):
+                self._guard_finite(metrics, step_i)
                 self.save(step_i + 1)
+        self._guard_finite(metrics, cfg.max_steps)
         self.save(cfg.max_steps)
         self.ckpt.wait()
         self.logger.close()
