@@ -275,3 +275,76 @@ def test_native_pipeline_uint8_matches_float(tmp_path):
     u = native_pipeline(data, 0, 0.3, 0.7, 32, as_uint8=True)
     assert u.dtype == np.uint8 and f.dtype == np.float32
     np.testing.assert_allclose(u.astype(np.float32) / 127.5 - 1.0, f, atol=1e-6)
+
+
+def _write_tagged_tar(path: str, ids):
+    """4x4 PNGs whose constant pixel value encodes the sample id (<256)."""
+    from PIL import Image
+
+    with tarfile.open(path, "w") as tf:
+        for i in ids:
+            img = Image.fromarray(np.full((4, 4, 3), i, np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(name=f"{i:06d}.png")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+def _tag(img):
+    return np.float32(img[0, 0, 0])
+
+
+def test_indexed_exact_resume(tmp_path):
+    """The batch at step S is a pure function of (seed, step): a dataset
+    constructed with start_step=3 reproduces batches 3,4 of a fresh run —
+    sample-exact resume with zero saved iterator state."""
+    from vqgan_tpu.data.indexed import IndexedTarDataset
+
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"{s:05d}.tar")
+        _write_tagged_tar(p, range(s * 12, (s + 1) * 12))
+        paths.append(p)
+    ds = IndexedTarDataset(paths, _tag, global_batch=4, seed=3, num_workers=2)
+    assert len(ds) == 24
+    it = iter(ds)
+    batches = [next(it) for _ in range(5)]
+    resumed = IndexedTarDataset(
+        paths, _tag, global_batch=4, seed=3, start_step=3, num_workers=1
+    )
+    it3 = iter(resumed)
+    np.testing.assert_array_equal(next(it3), batches[3])
+    np.testing.assert_array_equal(next(it3), batches[4])
+
+
+def test_indexed_epoch_is_perfect_shuffle(tmp_path):
+    """One epoch covers every sample exactly once (a global permutation,
+    stronger than the streaming buffer's windowed shuffle); the next epoch
+    uses a different order."""
+    from vqgan_tpu.data.indexed import IndexedTarDataset
+
+    p = str(tmp_path / "00000.tar")
+    _write_tagged_tar(p, range(24))
+    ds = IndexedTarDataset([p], _tag, global_batch=4, seed=0, num_workers=1)
+    epoch1 = np.concatenate([ds.batch_at(s) for s in range(6)])
+    epoch2 = np.concatenate([ds.batch_at(s) for s in range(6, 12)])
+    assert sorted(epoch1.tolist()) == list(range(24))
+    assert sorted(epoch2.tolist()) == list(range(24))
+    assert epoch1.tolist() != epoch2.tolist()
+
+
+def test_indexed_per_host_slots_disjoint(tmp_path):
+    """Host p of P owns slots [p·B/P, (p+1)·B/P) of every global batch; the
+    host slices concatenate to the single-host global batch."""
+    from vqgan_tpu.data.indexed import IndexedTarDataset
+
+    p = str(tmp_path / "00000.tar")
+    _write_tagged_tar(p, range(16))
+    kw = dict(global_batch=8, seed=1, num_workers=1)
+    full = IndexedTarDataset([p], _tag, **kw).batch_at(0)
+    h0 = IndexedTarDataset([p], _tag, process_index=0, process_count=2, **kw).batch_at(0)
+    h1 = IndexedTarDataset([p], _tag, process_index=1, process_count=2, **kw).batch_at(0)
+    assert h0.shape == (4,) and h1.shape == (4,)
+    np.testing.assert_array_equal(np.concatenate([h0, h1]), full)

@@ -81,6 +81,7 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--use_pallas_gn", type=bool, default=False, help="Use the Pallas fused GroupNorm+swish kernel")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
 @click.option("--synthetic_data", type=bool, default=False, help="Use the deterministic synthetic data source")
+@click.option("--indexed_data", type=bool, default=False, help="Position-addressed tar dataset: perfect per-epoch shuffle + sample-exact resume (random reads)")
 @click.option("--image_size", type=int, default=512, help="Loaded image resolution (reference MAX_WIDTH)")
 @click.option("--num_workers", type=int, default=4, help="Decode workers per host")
 @click.option("--device_normalize", type=bool, default=True, help="Ship uint8 batches; normalize on device (4x less H2D)")
@@ -120,6 +121,7 @@ def train(**kw):
         num_workers=kw["num_workers"],
         device_normalize=kw["device_normalize"],
         synthetic_data=kw["synthetic_data"],
+        indexed_data=kw["indexed_data"],
         learning_rate_vae=kw["learning_rate_vae"],
         learning_rate_disc=kw["learning_rate_disc"],
         max_steps=kw["max_steps"],

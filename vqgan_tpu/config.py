@@ -113,6 +113,9 @@ class TrainConfig:
     image_size: int = 512  # loaded resolution (MAX_WIDTH, vae_trainer.py:93)
     num_workers: int = 4
     synthetic_data: bool = False  # deterministic on-host generated batches
+    # indexed data mode (data/indexed.py): per-epoch perfect shuffle and
+    # sample-exact resume — batch at step S is the same on every run/restart
+    indexed_data: bool = False
     # ship uint8 batches to device and normalize there (4x less H2D traffic;
     # bit-identical to host normalization — trace-time dtype branch)
     device_normalize: bool = True

@@ -34,12 +34,21 @@ def create_dataloader(
     seed: int = 0,
     loop: bool = True,
     device_normalize: bool = False,
-) -> TarImageStream:
+    indexed: bool = False,
+    start_step: int = 0,
+):
     """``device_normalize``: emit uint8 batches and let the (trace-time dtype
     branch in the) train/eval step do the /127.5-1 normalization on device —
-    4x less host→device traffic for the same numbers."""
+    4x less host→device traffic for the same numbers.
+
+    ``indexed``: use the position-addressable dataset (data/indexed.py) —
+    per-epoch perfect shuffle, sample-exact resume at ``start_step`` with no
+    saved iterator state. ``batch_size`` stays the HOST-LOCAL batch in both
+    modes; the indexed dataset derives the global batch from the process
+    count. Streaming (default) splits shards per host; indexed splits batch
+    slots per host over one global index.
+    """
     shards = expand_braces(url)
-    shards = split_shards(shards, jax.process_index(), jax.process_count())
     if just_resize:
         transform = make_eval_transform(width, as_uint8=device_normalize)
     else:
@@ -52,6 +61,21 @@ def create_dataloader(
             if native_available()
             else make_train_transform(width, seed, as_uint8=device_normalize)
         )
+    if indexed:
+        from vqgan_tpu.data.indexed import IndexedTarDataset
+
+        return IndexedTarDataset(
+            shards,
+            transform,
+            global_batch=batch_size * jax.process_count(),
+            seed=seed,
+            start_step=start_step,
+            num_workers=num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            do_shuffle=do_shuffle,
+        )
+    shards = split_shards(shards, jax.process_index(), jax.process_count())
     return TarImageStream(
         shards,
         transform,
