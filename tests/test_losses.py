@@ -145,3 +145,44 @@ def test_lpips_torch_conversion_shapes():
     assert params["vgg"]["conv_0"]["kernel"].shape == (3, 3, 3, 64)
     assert params["lin_4"].shape == (512,)
     np.testing.assert_allclose(params["lin_0"], 0.5)
+
+
+def test_psnr_ssim_properties():
+    """PSNR/SSIM eval metrics: identity, known PSNR value, monotone SSIM."""
+    from vqgan_tpu.losses.metrics import psnr, ssim
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    # identical images: PSNR capped by the 1e-12 floor, SSIM exactly ~1
+    assert float(psnr(a, a)) > 100.0
+    assert abs(float(ssim(a, a)) - 1.0) < 1e-5
+    # known value: uniform squared error eps^2 -> PSNR = -20 log10(eps)
+    eps = 0.1
+    b = jnp.clip(a + eps, 0, 1)
+    mse = float(jnp.mean((a - b) ** 2))
+    np.testing.assert_allclose(float(psnr(a, b)), -10 * np.log10(mse), rtol=1e-5)
+    # more noise -> lower SSIM, and strictly below identity
+    n1 = jnp.clip(a + 0.05 * jnp.asarray(rng.randn(*a.shape)), 0, 1)
+    n2 = jnp.clip(a + 0.20 * jnp.asarray(rng.randn(*a.shape)), 0, 1)
+    s1, s2 = float(ssim(a, n1)), float(ssim(a, n2))
+    assert 1.0 > s1 > s2 > 0.0
+
+
+def test_ssim_matches_skimage_if_available():
+    from vqgan_tpu.losses.metrics import ssim
+
+    try:
+        from skimage.metrics import structural_similarity
+    except ImportError:
+        import pytest
+
+        pytest.skip("skimage not in image")
+    rng = np.random.RandomState(1)
+    a = rng.rand(48, 48, 3).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.randn(48, 48, 3).astype(np.float32), 0, 1)
+    ours = float(ssim(jnp.asarray(a[None]), jnp.asarray(b[None])))
+    ref = structural_similarity(
+        a, b, channel_axis=-1, data_range=1.0, gaussian_weights=True,
+        sigma=1.5, use_sample_covariance=False,
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-3)

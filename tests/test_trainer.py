@@ -44,6 +44,7 @@ def test_trainer_end_to_end(tmp_path):
     # eval image grids + quality metrics
     assert glob.glob(str(run_dir / "eval" / "reconstructed_test_images_*.png"))
     assert any("eval/lpips" in l for l in lines)
+    assert any("eval/psnr" in l and "eval/ssim" in l for l in lines)
     # torch-format weight exports + orbax full state
     assert glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))
     assert os.path.isdir(run_dir / "orbax")
@@ -323,3 +324,43 @@ def test_trainer_indexed_data(tmp_path):
     assert any(
         np.isfinite(l["overall_vae_loss"]) for l in lines if "overall_vae_loss" in l
     )
+
+
+def test_trainer_eval_metrics_with_mismatched_image_size(tmp_path):
+    """image_size != the VAE's resolution (the normal flagship setup: 512px
+    data into a 256px encoder) — eval must score recon against the
+    area-resized target, not silently skip the quality metrics."""
+    cfg = TrainConfig(
+        synthetic_data=True, batch_size=8, image_size=64, max_steps=1,
+        num_epochs=1, evaluate_every_n_steps=1, use_wandb=False,
+        ckpt_dir=str(tmp_path), run_name="mm", log_every=1,
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))  # TINY resolution is 32
+    trainer.train()
+    lines = [
+        json.loads(l)
+        for l in open(tmp_path / "mm" / "metrics_mm.jsonl")
+        if l.strip()
+    ]
+    metric_lines = [l for l in lines if "eval/psnr" in l]
+    assert metric_lines, "eval metrics were skipped on size mismatch"
+    assert all(
+        np.isfinite(l[k])
+        for l in metric_lines
+        for k in ("eval/psnr", "eval/ssim", "eval/lpips")
+    )
+
+
+def test_trainer_rejects_mismatched_downscale_factor(tmp_path):
+    """crop_invariance with a downscale_factor that is not the VAE's true
+    spatial factor would slice out of bounds deep inside jit — the Trainer
+    must reject it upfront with an actionable message."""
+    import pytest
+
+    cfg = TrainConfig(
+        synthetic_data=True, batch_size=8, image_size=32, max_steps=1,
+        use_wandb=False, ckpt_dir=str(tmp_path), run_name="bad",
+        crop_invariance=True, downscale_factor=16,  # TINY's ffactor is 2
+    )
+    with pytest.raises(ValueError, match="downscale_factor"):
+        Trainer(cfg, VAEConfig(**TINY))

@@ -61,6 +61,15 @@ class Trainer:
                 f"image_size {cfg.image_size} must be divisible by the "
                 f"context (spatial-parallel) extent {n_ctx}"
             )
+        if cfg.crop_invariance and cfg.downscale_factor != vae_cfg.ffactor:
+            # the crop step addresses the target at latent_offset *
+            # downscale_factor; a mismatch slices out of bounds deep inside
+            # jit (an opaque dynamic_slice error) — fail here instead
+            raise ValueError(
+                f"--downscale_factor {cfg.downscale_factor} must equal the "
+                f"VAE's spatial factor {vae_cfg.ffactor} "
+                f"(2^(len(ch_mult)-1)) for latent-crop equivariance"
+            )
 
         if cfg.full_bf16:
             vae_cfg = VAEConfig(
@@ -311,11 +320,11 @@ class Trainer:
                 t0 = time.time()
 
                 # eval + checkpoint cadence (trigger % n == 1 — reference
-                # vae_trainer.py:805-809 parity)
-                if (
-                    cfg.evaluate_every_n_steps > 0
-                    and global_step % cfg.evaluate_every_n_steps == 1
-                ):
+                # vae_trainer.py:805-809 parity; n == 1 means every step,
+                # since the bare modulo never fires for n=1 — trainer3d
+                # convention)
+                _n = cfg.evaluate_every_n_steps
+                if _n > 0 and (_n == 1 or global_step % _n == 1):
                     # last line of defense before overwriting checkpoints:
                     # vet this step's metrics even off the log cadence
                     # (skipped when the log branch already checked them)
@@ -396,6 +405,17 @@ class Trainer:
         # quality metrics at fixed steps (BASELINE.md contract):
         # eval/lpips on recon pairs; eval/rfid_vgg_proxy Fréchet distance
         try:
+            if recon.shape != target.shape:
+                # image_size != the recon resolution (vae_resolution, or 2x
+                # under HR decode): score against the area-resized target at
+                # recon resolution; the image grids keep the original target
+                from vqgan_tpu.ops.resize import resize_area
+
+                target_m = np.asarray(
+                    resize_area(jnp.asarray(target), recon.shape[1:3])
+                )
+            else:
+                target_m = target
             if not hasattr(self, "_eval_lpips"):
                 lp = self.lpips
 
@@ -411,16 +431,24 @@ class Trainer:
                 self._eval_lpips(
                     self.lpips_params,
                     jnp.asarray(recon * 2.0 - 1.0),
-                    jnp.asarray(target * 2.0 - 1.0),
+                    jnp.asarray(target_m * 2.0 - 1.0),
                 )
             )
             from vqgan_tpu.losses.fid import frechet_distance
+            from vqgan_tpu.losses.metrics import psnr, ssim
 
             fa = np.asarray(self._eval_feats(jnp.asarray(recon * 2.0 - 1.0)))
-            fb = np.asarray(self._eval_feats(jnp.asarray(target * 2.0 - 1.0)))
+            fb = np.asarray(self._eval_feats(jnp.asarray(target_m * 2.0 - 1.0)))
             rfid = frechet_distance(fa, fb)
+            ra, ta = jnp.asarray(recon), jnp.asarray(target_m)
             self.logger.log(
-                {"eval/lpips": lp_val, "eval/rfid_vgg_proxy": rfid}, step
+                {
+                    "eval/lpips": lp_val,
+                    "eval/rfid_vgg_proxy": rfid,
+                    "eval/psnr": float(psnr(ra, ta)),
+                    "eval/ssim": float(ssim(ra, ta)),
+                },
+                step,
             )
         except Exception as e:  # metrics must never kill training
             self.logger.info(f"eval metrics failed: {e}")
