@@ -55,3 +55,47 @@ def test_two_process_data_parallel_step():
     # identical loss (global mean over both hosts' different data) and
     # bit-identical parameters after 2 updates
     assert results[0] == results[1], results
+
+
+def test_two_process_full_trainer(tmp_path):
+    """The REAL Trainer end-to-end as a 2-process cluster: is_master gating,
+    per-process synthetic batches, eval + checkpoint cadence, final save —
+    the reference's torchrun/rank-0 contract (vae_trainer.py:391-397,
+    805-910) exercised through the actual orchestration path."""
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_trainer_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["MP_CKPT_DIR"] = str(tmp_path)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, phash = line.split()
+                results[int(pid)] = phash
+    assert set(results) == {0, 1}, results
+    assert results[0] == results[1], results
+    # rank-0-only artifacts: metrics log, eval grid, torch + orbax ckpts
+    run_dir = tmp_path / "mp_trainer"
+    assert (run_dir / "metrics_mp_trainer.jsonl").exists()
+    import glob as _glob
+
+    assert _glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))
+    assert (run_dir / "orbax").is_dir()
