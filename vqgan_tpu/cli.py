@@ -158,6 +158,10 @@ def train(**kw):
 
 
 @click.command()
+@click.option("--dataset_url", type=str, default="",
+              help="Tar shards of .npy/.npz uint8 (T,H,W,3) clip samples "
+                   "(brace ranges OK); empty = synthetic moving-pattern clips")
+@click.option("--num_workers", type=int, default=4)
 @click.option("--batch_size", type=int, default=4)
 @click.option("--vae_ch", type=int, default=64)
 @click.option("--vae_ch_mult", type=str, default="1,2,4,4")
@@ -181,8 +185,9 @@ def train(**kw):
                    "dir's latest full state auto-resumes")
 @click.option("--seed", type=int, default=42)
 def train3d(**kw):
-    """Train the 3D video VAE (TVAE, reference tae.py) on synthetic clips —
-    the video-model capability the reference declares but never wires."""
+    """Train the 3D video VAE (TVAE, reference tae.py) — the video-model
+    capability the reference declares but never wires. Data: tar shards of
+    .npy/.npz clips via --dataset_url, or synthetic moving patterns."""
     from vqgan_tpu.config import TVAEConfig
     from vqgan_tpu.train.trainer3d import Trainer3D
 
@@ -197,6 +202,9 @@ def train3d(**kw):
     )
     cfg = TrainConfig(
         batch_size=kw["batch_size"],
+        dataset_url=kw["dataset_url"],
+        synthetic_data=not kw["dataset_url"],
+        num_workers=kw["num_workers"],
         learning_rate_vae=kw["learning_rate_vae"],
         max_steps=kw["max_steps"],
         run_name=kw["run_name"],

@@ -71,18 +71,23 @@ def _decode_image(data: bytes) -> Optional[np.ndarray]:
 
 
 def _iter_tar_samples(
-    path: str, raw_bytes: bool = False
+    path: str,
+    raw_bytes: bool = False,
+    exts: Sequence[str] = _IMG_EXTS,
+    decoder: Callable[[bytes], Optional[np.ndarray]] = _decode_image,
 ) -> Iterator[np.ndarray]:
-    """Yield decoded images (or raw bytes when the transform owns decoding —
+    """Yield decoded samples (or raw bytes when the transform owns decoding —
     the native C++ pipeline path) from one tar shard; sequential read — tar
-    streaming is IO-friendly by construction."""
+    streaming is IO-friendly by construction. ``exts``/``decoder`` let other
+    modalities reuse the same shard contract (data/video.py streams .npy
+    clips through here)."""
     try:
         with tarfile.open(path, "r|*") as tf:
             for member in tf:
                 if not member.isfile():
                     continue
                 name = member.name.lower()
-                if not name.endswith(_IMG_EXTS):
+                if not name.endswith(tuple(exts)):
                     continue
                 f = tf.extractfile(member)
                 if f is None:
@@ -91,7 +96,7 @@ def _iter_tar_samples(
                 if raw_bytes:
                     yield data
                     continue
-                img = _decode_image(data)
+                img = decoder(data)
                 if img is not None:
                     yield img
     except (tarfile.TarError, OSError):
@@ -116,9 +121,13 @@ class TarImageStream:
         do_shuffle: bool = True,
         seed: int = 0,
         loop: bool = True,
+        exts: Sequence[str] = _IMG_EXTS,
+        decoder: Callable[[bytes], Optional[np.ndarray]] = _decode_image,
     ):
         self.shards = list(shards)
         self.transform = transform
+        self.exts = tuple(exts)
+        self.decoder = decoder
         self.batch_size = batch_size
         self.num_workers = max(1, min(num_workers, len(self.shards) or 1))
         self.shuffle_buffer = shuffle_buffer if do_shuffle else 0
@@ -146,7 +155,10 @@ class TarImageStream:
                 if self.do_shuffle:
                     rng.shuffle(order)
                 for shard in order:
-                    for img in _iter_tar_samples(shard, raw_bytes=raw):
+                    for img in _iter_tar_samples(
+                        shard, raw_bytes=raw, exts=self.exts,
+                        decoder=self.decoder,
+                    ):
                         if self._stop.is_set():
                             return
                         try:

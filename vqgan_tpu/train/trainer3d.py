@@ -4,8 +4,9 @@ wires (tae.py is standalone, imported by no trainer; SURVEY.md §2.2).
 A compact data-parallel trainer for the TVAE: reconstruction (L2 + optional
 L1) + the z² latent penalty + proper KL for the real DiagonalGaussian
 regularizer, jitted over the same mesh machinery as the 2D path. Video
-batches are NDTHWC in [-1, 1]; the default source is a synthetic moving-
-pattern generator so the path is runnable anywhere.
+batches are NDTHWC in [-1, 1]; sources are tar shards of .npy/.npz clips
+(data/video.py, --dataset_url) or a synthetic moving-pattern generator so
+the path is runnable anywhere.
 """
 
 from __future__ import annotations
@@ -185,15 +186,34 @@ class Trainer3D:
 
     def train(self):
         cfg = self.cfg
-        src = synthetic_video_batches(
-            cfg.batch_size // jax.process_count(),
-            self.frames,
-            self.tvae_cfg.resolution,
-            seed=cfg.seed + self.start_step,  # fresh data order on resume
-        )
+        local_batch = cfg.batch_size // jax.process_count()
+        if cfg.dataset_url and not cfg.synthetic_data:
+            # real clips: .npy/.npz samples in tar shards (data/video.py),
+            # same per-host shard split as the image pipeline
+            from vqgan_tpu.data.video import create_video_dataloader
+
+            src = create_video_dataloader(
+                cfg.dataset_url,
+                local_batch,
+                self.frames,
+                self.tvae_cfg.resolution,
+                num_workers=cfg.num_workers,
+                seed=cfg.seed + self.start_step,
+            )
+        else:
+            src = synthetic_video_batches(
+                local_batch,
+                self.frames,
+                self.tvae_cfg.resolution,
+                seed=cfg.seed + self.start_step,  # fresh order on resume
+            )
         metrics = None
         for step_i in range(self.start_step, cfg.max_steps):
-            batch = jax.device_put(next(src), self.batch_shard)
+            # per-host local array → global batch (a plain device_put with
+            # the global sharding would misread the local array on pods)
+            batch = jax.make_array_from_process_local_data(
+                self.batch_shard, np.asarray(next(src))
+            )
             self.params, self.opt_state, self.rng, metrics = self._step(
                 self.params, self.opt_state, batch, self.rng
             )
