@@ -95,18 +95,29 @@ def test_trainer3d_on_clip_tar(tmp_path):
         ckpt_dir=str(tmp_path / "ckpt"),
         run_name="vid",
         log_every=1,
-        evaluate_every_n_steps=0,
+        evaluate_every_n_steps=2,
     )
     tvae_cfg = TVAEConfig(
         resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
         compute_dtype="float32",
     )
     Trainer3D(cfg, tvae_cfg, frames=4).train()
+    import glob
     import json
 
     lines = [
         json.loads(l)
         for l in open(tmp_path / "ckpt" / "vid" / "metrics_vid.jsonl")
-        if l.strip() and "loss" in l
+        if l.strip()
     ]
-    assert lines and all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
+    assert any(np.isfinite(l["loss"]) for l in lines if "loss" in l)
+    # 3D eval: quality metrics + original-vs-recon frame strip
+    evals = [l for l in lines if "eval/psnr" in l]
+    assert evals and all(
+        np.isfinite(l[k])
+        for l in evals
+        for k in ("eval/psnr", "eval/ssim", "eval/recon_l2")
+    )
+    assert glob.glob(
+        str(tmp_path / "ckpt" / "vid" / "eval" / "reconstructed_clip_frames_*.png")
+    )

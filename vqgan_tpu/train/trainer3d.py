@@ -168,6 +168,67 @@ class Trainer3D:
         self.start_step = step_i
         self.ckpt.save(step_i, self._host_state())
 
+    def _eval(self, step_i: int, batch: np.ndarray) -> None:
+        """Master-only eval on a fixed clip batch: deterministic decode
+        (posterior mean for gaussian / straight quantization for vq), quality
+        metrics, and an original-vs-recon frame strip PNG — the 3D
+        counterpart of the 2D eval loop (reference vae_trainer.py:805-901
+        has no 3D analogue; tae.py is never trained in the reference)."""
+        if jax.process_index() != 0:
+            return
+        if not hasattr(self, "_eval_step"):
+            model, reg_type = self.model, self.tvae_cfg.reg_type
+
+            @jax.jit
+            def eval_step(params, x):
+                z = model.apply({"params": params}, x, method=model.encode)
+                if reg_type == "gaussian":
+                    mean, _ = jnp.split(z.astype(jnp.float32), 2, axis=-1)
+                    z_s = mean.astype(z.dtype)
+                else:
+                    out = model.apply(
+                        {"params": params}, z, method=lambda m, zz: m.reg(zz)
+                    )
+                    z_s = out[0] if isinstance(out, tuple) else out
+                return model.apply(
+                    {"params": params}, z_s, method=model.decode
+                ).astype(jnp.float32)
+
+            self._eval_step = eval_step
+        recon = np.asarray(self._eval_step(self.params, jnp.asarray(batch)))
+        ra = np.clip(recon * 0.5 + 0.5, 0.0, 1.0)
+        ta = np.clip(batch * 0.5 + 0.5, 0.0, 1.0)
+        try:
+            from vqgan_tpu.losses.metrics import psnr, ssim
+
+            b, t, h, w, c = ra.shape
+            flat_r = jnp.asarray(ra.reshape(b * t, h, w, c))
+            flat_t = jnp.asarray(ta.reshape(b * t, h, w, c))
+            self.logger.log(
+                {
+                    "eval/recon_l2": float(np.mean((ra - ta) ** 2)),
+                    "eval/psnr": float(psnr(flat_r, flat_t)),
+                    "eval/ssim": float(ssim(flat_r, flat_t)),
+                },
+                step_i,
+            )
+        except Exception as e:  # metrics must never kill training
+            self.logger.info(f"3d eval metrics failed: {e}")
+        # frame strip: first clip, up to 4 frames; originals over recons
+        k = min(4, ta.shape[1])
+        strip = np.concatenate(
+            [
+                np.concatenate(list(ta[0, :k]), axis=1),
+                np.concatenate(list(ra[0, :k]), axis=1),
+            ],
+            axis=0,
+        )
+        self.logger.log_images(
+            {"reconstructed_clip_frames": strip},
+            step_i,
+            f"{self.cfg.ckpt_dir}/{self.cfg.run_name}/eval",
+        )
+
     def _guard_finite(self, metrics, step_i: int) -> None:
         """NaN guard at every checkpoint site (same invariant as the 2D
         Trainer): halt instead of overwriting the last good state."""
@@ -207,6 +268,10 @@ class Trainer3D:
                 self.tvae_cfg.resolution,
                 seed=cfg.seed + self.start_step,  # fresh order on resume
             )
+        # fixed eval set: a held-out synthetic batch (different seed stream
+        # than training; for real data the first batch is held out) — cached
+        # once, like the 2D trainer's frozen eval batches
+        eval_batch = np.asarray(next(src)) if cfg.eval_batches > 0 else None
         metrics = None
         for step_i in range(self.start_step, cfg.max_steps):
             # per-host local array → global batch (a plain device_put with
@@ -228,8 +293,12 @@ class Trainer3D:
             n = cfg.evaluate_every_n_steps
             if n > 0 and (n == 1 or (step_i + 1) % n == 1):
                 self._guard_finite(metrics, step_i)
+                if eval_batch is not None:
+                    self._eval(step_i, eval_batch)
                 self.save(step_i + 1)
         self._guard_finite(metrics, cfg.max_steps)
+        if eval_batch is not None:
+            self._eval(cfg.max_steps, eval_batch)
         self.save(cfg.max_steps)
         self.ckpt.wait()
         self.logger.close()
