@@ -93,6 +93,10 @@ class IndexedTarDataset:
         self.do_shuffle = do_shuffle
         self._perm_cache: dict = {}
         self._wants_bytes = bool(getattr(transform, "wants_bytes", False))
+        # per-position augmentation rng: transform randomness must be a pure
+        # function of (seed, position), not of worker-thread draw order —
+        # otherwise batch_at(S) is not reproducible across runs
+        self._accepts_rng = bool(getattr(transform, "accepts_rng", False))
 
     def __len__(self) -> int:
         return len(self.index)
@@ -115,13 +119,18 @@ class IndexedTarDataset:
         with open(path, "rb") as f:
             f.seek(offset)
             data = f.read(size)
+        kw = (
+            {"rng": np.random.default_rng((self.seed, global_pos))}
+            if self._accepts_rng
+            else {}
+        )
         if self._wants_bytes:
-            return self.transform(data)
+            return self.transform(data, **kw)
         img = _decode_image(data)
         if img is None:
             # corrupt member: deterministic fallback to the next index slot
             return self._read_sample(global_pos + 1)
-        return self.transform(img)
+        return self.transform(img, **kw)
 
     def batch_at(self, step: int) -> np.ndarray:
         """Host-local slice of global batch ``step`` — identical across runs."""

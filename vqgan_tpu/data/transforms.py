@@ -62,10 +62,16 @@ def make_train_transform(width: int = 512, seed: int = 0, as_uint8: bool = False
     """p=0.5: RandomCrop(width) directly; else Resize(width)+RandomCrop
     (vae_trainer.py:105-116). ``as_uint8`` keeps the output uint8 HWC —
     normalization then happens on device after a 4x cheaper H2D transfer
-    (the train step's trace-time dtype branch)."""
-    rng = np.random.default_rng(seed)
+    (the train step's trace-time dtype branch).
 
-    def transform(img: np.ndarray) -> np.ndarray:
+    The optional per-call ``rng`` makes one sample's augmentation a pure
+    function of that rng (indexed mode passes a position-derived generator —
+    draws from the shared closure rng depend on thread scheduling, which
+    would break indexed mode's batch-at-step-S determinism)."""
+    shared_rng = np.random.default_rng(seed)
+
+    def transform(img: np.ndarray, rng=None) -> np.ndarray:
+        rng = shared_rng if rng is None else rng
         if rng.random() < 0.5:
             out = _random_crop(img, width, rng)
         else:
@@ -73,6 +79,7 @@ def make_train_transform(width: int = 512, seed: int = 0, as_uint8: bool = False
         out = np.ascontiguousarray(out)
         return out if as_uint8 else _to_float(out)
 
+    transform.accepts_rng = True
     return transform
 
 
@@ -87,13 +94,14 @@ def make_native_train_transform(width: int = 512, seed: int = 0, as_uint8: bool 
     """
     from vqgan_tpu.data.native import native_pipeline
 
-    rng = np.random.default_rng(seed)
+    shared_rng = np.random.default_rng(seed)
     fallback = make_train_transform(width, seed + 1, as_uint8=as_uint8)
 
-    def transform(data: bytes) -> np.ndarray:
-        resize_to = 0 if rng.random() < 0.5 else width
+    def transform(data: bytes, rng=None) -> np.ndarray:
+        r = shared_rng if rng is None else rng
+        resize_to = 0 if r.random() < 0.5 else width
         out = native_pipeline(
-            data, resize_to, float(rng.random()), float(rng.random()), width,
+            data, resize_to, float(r.random()), float(r.random()), width,
             as_uint8=as_uint8,
         )
         if out is None:
@@ -102,10 +110,11 @@ def make_native_train_transform(width: int = 512, seed: int = 0, as_uint8: bool 
             img = _decode_image(data)
             if img is None:
                 raise ValueError("undecodable image")
-            return fallback(img)
+            return fallback(img, rng=rng)
         return out
 
     transform.wants_bytes = True
+    transform.accepts_rng = True
     return transform
 
 
