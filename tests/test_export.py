@@ -107,3 +107,51 @@ def test_exported_vq_quantizes(tmp_path):
     assert float(dists.min(axis=1).max()) < 1e-9  # every vector is a code
     recon = loaded.decode(z)
     assert recon.shape == (2, 32, 32, 3)
+
+
+def test_exported_tvae_roundtrip(tmp_path):
+    """3D video export: artifact matches the module's deterministic decode
+    (posterior mean), with a symbolic batch over static clip geometry."""
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.export import ExportedTVAE, export_tvae
+    from vqgan_tpu.models.tae import TVAE
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    model = TVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 4, 16, 16, 3))
+    params = model.init({"params": rng, "sample": rng}, x0)["params"]
+    export_tvae(cfg, params, str(tmp_path), frames=4, platforms=("cpu",))
+
+    loaded = ExportedTVAE.load(str(tmp_path))
+    assert loaded.manifest["format"] == "vqgan_tpu.export/v1-video"
+    for b in (1, 2):
+        clips = (np.random.RandomState(b).rand(b, 4, 16, 16, 3) * 255).astype(
+            np.uint8
+        )
+        z = loaded.encode(clips)
+        assert z.shape == (b, 2, 8, 8, 8)
+        recon = loaded.decode(z)
+        assert recon.shape == (b, 4, 16, 16, 3)
+        assert recon.min() >= 0.0 and recon.max() <= 1.0
+    # parity vs the module: encode → mean → decode
+    x = jnp.asarray(clips.astype(np.float32) / 127.5 - 1.0)
+    z_full = model.apply({"params": params}, x, method=model.encode)
+    mean = jnp.split(z_full.astype(jnp.float32), 2, axis=-1)[0]
+    dec = model.apply({"params": params}, mean, method=model.decode)
+    ref = np.clip(np.asarray(dec, np.float32) * 0.5 + 0.5, 0.0, 1.0)
+    np.testing.assert_allclose(recon, ref, atol=1e-5)
+
+
+def test_exported_tvae_rejects_bad_geometry(tmp_path):
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.export import export_tvae
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+    )
+    with pytest.raises(ValueError, match="frames"):
+        export_tvae(cfg, {}, str(tmp_path), frames=3, platforms=("cpu",))

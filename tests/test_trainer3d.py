@@ -70,6 +70,13 @@ def test_trainer3d_context_ring_attention(tmp_path):
             trainer.params, trainer.opt_state, batch, trainer.rng
         )
     assert np.isfinite(float(metrics["loss"]))
+    # eval must also run on the ring/context mesh (shard_map inside jit)
+    trainer._eval(2, np.asarray(next(src)))
+    import glob
+
+    assert glob.glob(
+        str(tmp_path / "t3dring" / "eval" / "reconstructed_clip_frames_*.png")
+    )
 
 
 def test_trainer3d_context_divisibility_error(tmp_path):

@@ -133,6 +133,82 @@ def export_vae(
         json.dump(manifest, f, indent=2)
 
 
+def export_tvae(
+    cfg,
+    params,
+    out_dir: str,
+    *,
+    frames: int,
+    platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+) -> None:
+    """Write a serving artifact for the 3D video VAE (``TVAE(cfg)``).
+
+    Batch is symbolic; clip length (``frames``) and resolution are static —
+    stride-2 Conv3d shapes depend on both (export one artifact per serving
+    clip geometry). Encode returns the posterior mean (gaussian) or the
+    quantized embeddings (vq); decode maps to [0, 1].
+    """
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.models.tae import TVAE
+
+    assert isinstance(cfg, TVAEConfig), cfg
+    model = TVAE(cfg=cfg)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    def encode_fn(x):
+        z = model.apply(variables, x, method=model.encode)
+        if cfg.reg_type == "gaussian":
+            z = jnp.split(z.astype(jnp.float32), 2, axis=-1)[0]  # mean
+        else:
+            out = model.apply(
+                variables, z, method=lambda m, zz: m.reg(zz)
+            )
+            z = out[0] if isinstance(out, tuple) else out
+        return z.astype(jnp.float32)
+
+    def decode_fn(z):
+        dec = model.apply(variables, z, method=model.decode)
+        return jnp.clip(dec.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+
+    (b,) = jax_export.symbolic_shape("b")
+    res = cfg.resolution
+    f = 2 ** (len(cfg.ch_mult) - 1)
+    if frames % f or res % f:
+        raise ValueError(
+            f"frames {frames} and resolution {res} must divide the "
+            f"spatio-temporal factor {f} (2^(len(ch_mult)-1))"
+        )
+    t_lat, s_lat = frames // f, res // f
+    x_spec = jax.ShapeDtypeStruct((b, frames, res, res, 3), jnp.float32)
+    z_spec = jax.ShapeDtypeStruct(
+        (b, t_lat, s_lat, s_lat, cfg.z_channels), jnp.float32
+    )
+    exp_enc = jax_export.export(jax.jit(encode_fn), platforms=list(platforms))(x_spec)
+    exp_dec = jax_export.export(jax.jit(decode_fn), platforms=list(platforms))(z_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _ENCODE), "wb") as f_:
+        f_.write(exp_enc.serialize())
+    with open(os.path.join(out_dir, _DECODE), "wb") as f_:
+        f_.write(exp_dec.serialize())
+    manifest = {
+        "format": "vqgan_tpu.export/v1-video",
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "tvae_config": dataclasses.asdict(cfg),
+        "reg_type": cfg.reg_type,
+        "encode_input": ["b", frames, res, res, 3],
+        "encode_output": ["b", t_lat, s_lat, s_lat, cfg.z_channels],
+        "decode_input": ["b", t_lat, s_lat, s_lat, cfg.z_channels],
+        "decode_output": ["b", frames, res, res, cfg.out_ch],
+        "io_dtype": "float32",
+        "image_range_in": "[-1, 1] (uint8 accepted by ExportedTVAE.encode)",
+        "image_range_out": "[0, 1]",
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f_:
+        json.dump(manifest, f_, indent=2)
+
+
 class ExportedVAE:
     """Loads and calls an ``export_vae`` artifact — no model code needed."""
 
@@ -171,6 +247,69 @@ class ExportedVAE:
         return self.decode(self.encode(images))
 
 
+class ExportedTVAE:
+    """Loads and calls an ``export_tvae`` artifact — no model code needed."""
+
+    def __init__(self, manifest: dict, enc, dec):
+        self.manifest = manifest
+        self._enc = enc
+        self._dec = dec
+
+    @classmethod
+    def load(cls, artifact_dir: str) -> "ExportedTVAE":
+        with open(os.path.join(artifact_dir, _MANIFEST)) as f:
+            manifest = json.load(f)
+        if manifest.get("format") != "vqgan_tpu.export/v1-video":
+            raise ValueError(f"unrecognized artifact format: {manifest.get('format')}")
+        with open(os.path.join(artifact_dir, _ENCODE), "rb") as f:
+            enc = jax_export.deserialize(f.read())
+        with open(os.path.join(artifact_dir, _DECODE), "rb") as f:
+            dec = jax_export.deserialize(f.read())
+        return cls(manifest, enc, dec)
+
+    @staticmethod
+    def _to_model_input(clips) -> jax.Array:
+        arr = np.asarray(clips)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 127.5 - 1.0
+        return jnp.asarray(arr, jnp.float32)
+
+    def encode(self, clips) -> np.ndarray:
+        """Clips (B,T,H,W,3) uint8 [0,255] or float [-1,1] → latents."""
+        return np.asarray(self._enc.call(self._to_model_input(clips)))
+
+    def decode(self, z) -> np.ndarray:
+        """Latents → float clips in [0,1]."""
+        return np.asarray(self._dec.call(jnp.asarray(z, jnp.float32)))
+
+    def reconstruct(self, clips) -> np.ndarray:
+        return self.decode(self.encode(clips))
+
+
+def _load_export_weights(checkpoint: str):
+    """torch .pt, an orbax weights dir, or a trainer run's CheckpointManager
+    dir (picks the latest step; unwraps a full train-state checkpoint down
+    to the generator params)."""
+    from vqgan_tpu.train.checkpoint import load_weights
+
+    path = checkpoint
+    if os.path.isdir(path):
+        steps = sorted(
+            (int(d) for d in os.listdir(path) if d.isdigit()), reverse=True
+        )
+        if steps:
+            path = os.path.join(path, str(steps[0]))
+        if os.path.isdir(os.path.join(path, "default")):
+            path = os.path.join(path, "default")
+    w = load_weights(path)
+    for key in ("params", "g_params"):
+        if isinstance(w, dict) and key in w and (
+            "opt_state" in w or "step" in w or "g_opt_state" in w
+        ):
+            return w[key]
+    return w
+
+
 def _main():
     import click
 
@@ -179,20 +318,40 @@ def _main():
     @click.command()
     @click.option("--checkpoint", required=True, help="torch .pt or orbax weights dir")
     @click.option("--out_dir", required=True)
+    @click.option("--family", type=str, default="vae",
+                  help="vae (2D image) | tvae (3D video)")
+    @click.option("--frames", type=int, default=16,
+                  help="clip length for --family tvae (static in the artifact)")
     @click.option("--do_clamp", type=bool, default=True)
     @click.option("--clamp_th", type=float, default=8.0)
     @click.option("--platforms", type=str, default="cpu,tpu")
     @vae_arch_click_options
-    def run(checkpoint, out_dir, do_clamp, clamp_th, platforms, **kw):
-        from vqgan_tpu.train.checkpoint import load_weights
+    def run(checkpoint, out_dir, family, frames, do_clamp, clamp_th, platforms, **kw):
+        params = _load_export_weights(checkpoint)
+        plats = tuple(p.strip() for p in platforms.split(",") if p.strip())
+        if family == "tvae":
+            from vqgan_tpu.config import TVAEConfig, parse_ch_mult
 
-        cfg = build_vae_config(kw)
-        params = load_weights(checkpoint)
-        export_vae(
-            cfg, params, out_dir,
-            do_clamp=do_clamp, clamp_th=clamp_th,
-            platforms=tuple(p.strip() for p in platforms.split(",") if p.strip()),
-        )
+            tcfg = TVAEConfig(
+                resolution=kw["vae_resolution"],
+                ch=kw["vae_ch"],
+                ch_mult=parse_ch_mult(kw["vae_ch_mult"]),
+                num_res_blocks=kw["vae_num_res_blocks"],
+                z_channels=kw["vae_z_channels"],
+                reg_type="gaussian" if kw["reg_type"] in (
+                    "gaussian", "identity_gaussian") else kw["reg_type"],
+                vq_codebook_size=kw["vq_codebook_size"],
+                vq_ema_decay=0.0,
+            )
+            export_tvae(tcfg, params, out_dir, frames=frames, platforms=plats)
+        elif family == "vae":
+            cfg = build_vae_config(kw)
+            export_vae(
+                cfg, params, out_dir,
+                do_clamp=do_clamp, clamp_th=clamp_th, platforms=plats,
+            )
+        else:
+            raise click.BadParameter(f"unknown --family {family}")
         click.echo(f"Exported serving artifact to {out_dir}")
 
     run()
