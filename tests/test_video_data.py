@@ -46,6 +46,9 @@ def test_decode_clip_formats():
     assert decode_clip(b"not a numpy file") is None
     # wrong rank → rejected
     assert decode_clip(_npy_bytes(clip[0])) is None
+    # wrong dtype → rejected (no silent uint8 coercion of float/int clips)
+    assert decode_clip(_npy_bytes(clip.astype(np.float32) / 255.0)) is None
+    assert decode_clip(_npy_bytes(clip.astype(np.int32))) is None
 
 
 def test_video_transform_contract():

@@ -161,6 +161,8 @@ def train(**kw):
 @click.option("--dataset_url", type=str, default="",
               help="Tar shards of .npy/.npz uint8 (T,H,W,3) clip samples "
                    "(brace ranges OK); empty = synthetic moving-pattern clips")
+@click.option("--test_dataset_url", type=str, default="",
+              help="Held-out clip shards for eval (defaults to dataset_url)")
 @click.option("--num_workers", type=int, default=4)
 @click.option("--batch_size", type=int, default=4)
 @click.option("--vae_ch", type=int, default=64)
@@ -203,6 +205,7 @@ def train3d(**kw):
     cfg = TrainConfig(
         batch_size=kw["batch_size"],
         dataset_url=kw["dataset_url"],
+        test_dataset_url=kw["test_dataset_url"],
         synthetic_data=not kw["dataset_url"],
         num_workers=kw["num_workers"],
         learning_rate_vae=kw["learning_rate_vae"],

@@ -149,6 +149,7 @@ class TarImageStream:
         my_shards = self.shards[worker_id :: self.num_workers]
         raw = bool(getattr(self.transform, "wants_bytes", False))
         epoch = 0
+        n_ok = n_failed = 0
         try:
             while not self._stop.is_set():
                 order = list(my_shards)
@@ -163,7 +164,22 @@ class TarImageStream:
                             return
                         try:
                             sample = self.transform(img)
-                        except Exception:
+                            n_ok += 1
+                        except Exception as e:
+                            # per-sample resilience (webdataset contract) —
+                            # but surface a dataset-wide failure instead of
+                            # hanging the consumer forever on an empty queue
+                            n_failed += 1
+                            if n_ok == 0 and n_failed in (50, 1000):
+                                import logging
+
+                                logging.getLogger("vqgan_tpu").error(
+                                    f"data worker {worker_id}: first "
+                                    f"{n_failed} samples ALL failed the "
+                                    f"transform (last: {e!r}) — the dataset "
+                                    f"likely mismatches the config (e.g. "
+                                    f"clips smaller than the target size)"
+                                )
                             continue
                         while not self._stop.is_set():
                             try:

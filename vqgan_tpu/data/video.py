@@ -43,9 +43,11 @@ def decode_clip(data: bytes) -> Optional[np.ndarray]:
                 return None
             obj = obj[obj.files[0]]
         arr = np.asarray(obj)
-        if arr.ndim != 4 or arr.shape[-1] != 3:
+        if arr.ndim != 4 or arr.shape[-1] != 3 or arr.dtype != np.uint8:
+            # strict uint8 contract: a silent astype would wrap ints >255
+            # and truncate float clips in [0,1] to all-black
             return None
-        return arr.astype(np.uint8, copy=False)
+        return arr
     except Exception:
         return None
 
@@ -53,10 +55,15 @@ def decode_clip(data: bytes) -> Optional[np.ndarray]:
 def video_transform(
     frames: int, size: int, train: bool = True, seed: int = 0
 ):
-    """Clip → (frames, size, size, 3) float32 in [-1, 1]."""
-    rng = np.random.default_rng(seed)
+    """Clip → (frames, size, size, 3) float32 in [-1, 1].
 
-    def tf(clip: np.ndarray) -> np.ndarray:
+    Accepts an optional per-call ``rng`` (the transforms.py convention) so a
+    position-addressed caller can make the temporal window a pure function
+    of sample position."""
+    shared_rng = np.random.default_rng(seed)
+
+    def tf(clip: np.ndarray, rng=None) -> np.ndarray:
+        rng = shared_rng if rng is None else rng
         t, h, w, _ = clip.shape
         # temporal window (loop short clips)
         if t < frames:
@@ -77,6 +84,7 @@ def video_transform(
         clip = clip[:, y0 : y0 + size, x0 : x0 + size]
         return clip.astype(np.float32) / 127.5 - 1.0
 
+    tf.accepts_rng = True
     return tf
 
 

@@ -157,13 +157,7 @@ def export_tvae(
 
     def encode_fn(x):
         z = model.apply(variables, x, method=model.encode)
-        if cfg.reg_type == "gaussian":
-            z = jnp.split(z.astype(jnp.float32), 2, axis=-1)[0]  # mean
-        else:
-            out = model.apply(
-                variables, z, method=lambda m, zz: m.reg(zz)
-            )
-            z = out[0] if isinstance(out, tuple) else out
+        z = model.apply(variables, z, method=model.deterministic_latent)
         return z.astype(jnp.float32)
 
     def decode_fn(z):
@@ -209,8 +203,11 @@ def export_tvae(
         json.dump(manifest, f_, indent=2)
 
 
-class ExportedVAE:
-    """Loads and calls an ``export_vae`` artifact — no model code needed."""
+class _ExportedArtifact:
+    """Shared loader/caller for export artifacts; subclasses pin the
+    manifest format and the input normalization."""
+
+    _FORMAT = ""  # subclass responsibility
 
     def __init__(self, manifest: dict, enc, dec):
         self.manifest = manifest
@@ -218,16 +215,38 @@ class ExportedVAE:
         self._dec = dec
 
     @classmethod
-    def load(cls, artifact_dir: str) -> "ExportedVAE":
+    def load(cls, artifact_dir: str):
         with open(os.path.join(artifact_dir, _MANIFEST)) as f:
             manifest = json.load(f)
-        if manifest.get("format") != "vqgan_tpu.export/v1":
+        if manifest.get("format") != cls._FORMAT:
             raise ValueError(f"unrecognized artifact format: {manifest.get('format')}")
         with open(os.path.join(artifact_dir, _ENCODE), "rb") as f:
             enc = jax_export.deserialize(f.read())
         with open(os.path.join(artifact_dir, _DECODE), "rb") as f:
             dec = jax_export.deserialize(f.read())
         return cls(manifest, enc, dec)
+
+    @staticmethod
+    def _to_model_input(x) -> jax.Array:
+        raise NotImplementedError
+
+    def encode(self, x) -> np.ndarray:
+        """uint8 [0,255] or float [-1,1] inputs → latents."""
+        return np.asarray(self._enc.call(self._to_model_input(x)))
+
+    def decode(self, z) -> np.ndarray:
+        """Latents → float outputs in [0,1]."""
+        return np.asarray(self._dec.call(jnp.asarray(z, jnp.float32)))
+
+    def reconstruct(self, x) -> np.ndarray:
+        return self.decode(self.encode(x))
+
+
+class ExportedVAE(_ExportedArtifact):
+    """Loads and calls an ``export_vae`` artifact — no model code needed.
+    encode takes images (B,H,W,3)."""
+
+    _FORMAT = "vqgan_tpu.export/v1"
 
     @staticmethod
     def _to_model_input(images) -> jax.Array:
@@ -235,37 +254,12 @@ class ExportedVAE:
 
         return jnp.asarray(VAEPipeline._to_model_input(images), jnp.float32)
 
-    def encode(self, images) -> np.ndarray:
-        """Images (B,H,W,3) uint8 [0,255] or float [-1,1] → latents."""
-        return np.asarray(self._enc.call(self._to_model_input(images)))
 
-    def decode(self, z) -> np.ndarray:
-        """Latents → float images in [0,1]."""
-        return np.asarray(self._dec.call(jnp.asarray(z, jnp.float32)))
+class ExportedTVAE(_ExportedArtifact):
+    """Loads and calls an ``export_tvae`` artifact — no model code needed.
+    encode takes clips (B,T,H,W,3)."""
 
-    def reconstruct(self, images) -> np.ndarray:
-        return self.decode(self.encode(images))
-
-
-class ExportedTVAE:
-    """Loads and calls an ``export_tvae`` artifact — no model code needed."""
-
-    def __init__(self, manifest: dict, enc, dec):
-        self.manifest = manifest
-        self._enc = enc
-        self._dec = dec
-
-    @classmethod
-    def load(cls, artifact_dir: str) -> "ExportedTVAE":
-        with open(os.path.join(artifact_dir, _MANIFEST)) as f:
-            manifest = json.load(f)
-        if manifest.get("format") != "vqgan_tpu.export/v1-video":
-            raise ValueError(f"unrecognized artifact format: {manifest.get('format')}")
-        with open(os.path.join(artifact_dir, _ENCODE), "rb") as f:
-            enc = jax_export.deserialize(f.read())
-        with open(os.path.join(artifact_dir, _DECODE), "rb") as f:
-            dec = jax_export.deserialize(f.read())
-        return cls(manifest, enc, dec)
+    _FORMAT = "vqgan_tpu.export/v1-video"
 
     @staticmethod
     def _to_model_input(clips) -> jax.Array:
@@ -273,17 +267,6 @@ class ExportedTVAE:
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 127.5 - 1.0
         return jnp.asarray(arr, jnp.float32)
-
-    def encode(self, clips) -> np.ndarray:
-        """Clips (B,T,H,W,3) uint8 [0,255] or float [-1,1] → latents."""
-        return np.asarray(self._enc.call(self._to_model_input(clips)))
-
-    def decode(self, z) -> np.ndarray:
-        """Latents → float clips in [0,1]."""
-        return np.asarray(self._dec.call(jnp.asarray(z, jnp.float32)))
-
-    def reconstruct(self, clips) -> np.ndarray:
-        return self.decode(self.encode(clips))
 
 
 def _load_export_weights(checkpoint: str):

@@ -370,6 +370,17 @@ class TVAE(nn.Module):
     def decode(self, z):
         return self.decoder(z)
 
+    def deterministic_latent(self, z):
+        """Deterministic serving/eval latent from the encoder output: the
+        posterior mean for the gaussian regularizer, the quantized embedding
+        for vq. One definition shared by eval (trainer3d) and serving export
+        so the three latent consumers cannot drift."""
+        if self.cfg.reg_type == "gaussian":
+            mean, _ = jnp.split(z.astype(jnp.float32), 2, axis=-1)
+            return mean.astype(z.dtype)
+        out = self.reg(z)
+        return out[0] if isinstance(out, tuple) else out
+
     def __call__(self, x: jax.Array):
         z = self.encoder(x)
         z_s = self.reg(z)

@@ -91,6 +91,20 @@ class Trainer3D:
         self.tvae_cfg = tvae_cfg
         self.frames = frames
         self.mesh = create_mesh(parse_mesh_shape(cfg.mesh_shape))
+        if cfg.batch_size % jax.process_count():
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} (global) must divide by the "
+                f"{jax.process_count()} hosts — a floor division would "
+                f"silently shrink the global batch"
+            )
+        n_data = 1
+        for a in ("data", "fsdp"):
+            n_data *= self.mesh.shape.get(a, 1)
+        if cfg.batch_size % max(1, n_data):
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must divide by the mesh's "
+                f"data-parallel extent {n_data}"
+            )
         # context axis > 1: shard the clip's T dim (batch_sharding ndim=5
         # puts "context" on dim 1) and run the mid-block attentions as exact
         # ring attention (ops/ring_attention.py) — long-clip sequence
@@ -176,20 +190,25 @@ class Trainer3D:
         has no 3D analogue; tae.py is never trained in the reference)."""
         if jax.process_index() != 0:
             return
+        if jax.process_count() > 1 and self.mesh.shape.get("context", 1) > 1:
+            # the ring-attention forward carries shard_map collectives over
+            # the context axis; running it on rank 0 alone would deadlock a
+            # multi-host mesh — skip (metrics-only limitation, training and
+            # checkpointing are unaffected)
+            self.logger.info(
+                "3d eval skipped: context-parallel mesh spans multiple "
+                "hosts (rank-0-only eval would hang on the ring collectives)"
+            )
+            return
         if not hasattr(self, "_eval_step"):
-            model, reg_type = self.model, self.tvae_cfg.reg_type
+            model = self.model
 
             @jax.jit
             def eval_step(params, x):
                 z = model.apply({"params": params}, x, method=model.encode)
-                if reg_type == "gaussian":
-                    mean, _ = jnp.split(z.astype(jnp.float32), 2, axis=-1)
-                    z_s = mean.astype(z.dtype)
-                else:
-                    out = model.apply(
-                        {"params": params}, z, method=lambda m, zz: m.reg(zz)
-                    )
-                    z_s = out[0] if isinstance(out, tuple) else out
+                z_s = model.apply(
+                    {"params": params}, z, method=model.deterministic_latent
+                )
                 return model.apply(
                     {"params": params}, z_s, method=model.decode
                 ).astype(jnp.float32)
@@ -268,10 +287,41 @@ class Trainer3D:
                 self.tvae_cfg.resolution,
                 seed=cfg.seed + self.start_step,  # fresh order on resume
             )
-        # fixed eval set: a held-out synthetic batch (different seed stream
-        # than training; for real data the first batch is held out) — cached
-        # once, like the 2D trainer's frozen eval batches
-        eval_batch = np.asarray(next(src)) if cfg.eval_batches > 0 else None
+        # fixed eval set, identical across restarts (the 2D trainer's frozen
+        # eval-batch contract): real data reads --test_dataset_url (or the
+        # train url — overlap caveat logged) unshuffled at a FIXED seed;
+        # synthetic uses a dedicated seed stream. Never derived from the
+        # resume-reseeded train stream, so eval curves are comparable across
+        # preemption restarts.
+        eval_batch = None
+        if cfg.eval_batches > 0:
+            if cfg.dataset_url and not cfg.synthetic_data:
+                from vqgan_tpu.data.video import create_video_dataloader
+
+                eval_url = cfg.test_dataset_url or cfg.dataset_url
+                if not cfg.test_dataset_url:
+                    self.logger.info(
+                        "3d eval: no --test_dataset_url; eval clips come "
+                        "from the training shards (metrics optimistic)"
+                    )
+                eval_batch = np.asarray(
+                    next(
+                        create_video_dataloader(
+                            eval_url, local_batch, self.frames,
+                            self.tvae_cfg.resolution, num_workers=1,
+                            do_shuffle=False, seed=cfg.seed, loop=False,
+                        )
+                    )
+                )
+            else:
+                eval_batch = np.asarray(
+                    next(
+                        synthetic_video_batches(
+                            local_batch, self.frames,
+                            self.tvae_cfg.resolution, seed=cfg.seed + 999_983,
+                        )
+                    )
+                )
         metrics = None
         for step_i in range(self.start_step, cfg.max_steps):
             # per-host local array → global batch (a plain device_put with
