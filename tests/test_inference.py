@@ -81,3 +81,36 @@ def test_pipeline_vq_quantizes(tmp_path):
     # silently skip quantization
     with pytest.raises(ValueError, match="codebook"):
         VAEPipeline(VAEConfig(**TINY), variables["params"])
+
+
+def test_tvae_pipeline_matches_export(tmp_path):
+    """TVAEPipeline (checkpoint-based video inference) matches the exported
+    artifact's deterministic encode/decode on identical params."""
+    import jax.numpy as jnp
+
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.export import ExportedTVAE, export_tvae
+    from vqgan_tpu.inference import TVAEPipeline
+    from vqgan_tpu.models.tae import TVAE
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    model = TVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(7)
+    params = model.init(
+        {"params": rng, "sample": rng}, jnp.zeros((1, 4, 16, 16, 3))
+    )["params"]
+    pipe = TVAEPipeline(cfg, params)
+    clips = (np.random.RandomState(7).rand(2, 4, 16, 16, 3) * 255).astype(
+        np.uint8
+    )
+    recon_pipe = pipe.reconstruct(clips)
+    assert recon_pipe.shape == (2, 4, 16, 16, 3)
+    export_tvae(cfg, params, str(tmp_path), frames=4, platforms=("cpu",))
+    recon_art = ExportedTVAE.load(str(tmp_path)).reconstruct(clips)
+    np.testing.assert_allclose(recon_pipe, recon_art, atol=1e-5)
+    # single-clip (T,H,W,3) input is auto-batched
+    one = pipe.reconstruct(clips[0])
+    np.testing.assert_allclose(one[0], recon_pipe[0], atol=1e-6)

@@ -8,6 +8,8 @@ encode/decode images — the published-artifact usage surface
     recon = pipe.decode(z)           # latents → float images in [0,1]
 
 CLI:  python -m vqgan_tpu.inference --checkpoint vae.pt --images 'a.png b.png'
+      python -m vqgan_tpu.inference --checkpoint run/orbax --clips 'a.npy' \
+          --vae_ch 64 ...   # 3D video pipeline (TVAEPipeline)
 """
 
 from __future__ import annotations
@@ -155,20 +157,107 @@ class VAEPipeline:
         return self.decode(self.encode(images))
 
 
+class TVAEPipeline:
+    """Checkpoint-based inference for the 3D video VAE — the clip
+    counterpart of VAEPipeline (the reference has no video inference; this
+    completes the family's train → eval → export → inference surface).
+    Latents use TVAE.deterministic_latent (posterior mean / quantized)."""
+
+    def __init__(self, cfg, params):
+        from vqgan_tpu.models.tae import TVAE
+
+        self.cfg = cfg
+        self.model = TVAE(cfg=cfg)
+        self.params = params
+        self._encode = jax.jit(
+            lambda p, x: self.model.apply(
+                {"params": p},
+                self.model.apply({"params": p}, x, method=self.model.encode),
+                method=self.model.deterministic_latent,
+            )
+        )
+        self._decode = jax.jit(
+            lambda p, z: self.model.apply(
+                {"params": p}, z, method=self.model.decode
+            )
+        )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg) -> "TVAEPipeline":
+        from vqgan_tpu.export import _load_export_weights
+
+        params = jax.tree_util.tree_map(jnp.asarray, _load_export_weights(path))
+        return cls(cfg, params)
+
+    @staticmethod
+    def _to_model_input(clips: np.ndarray) -> jax.Array:
+        x = np.asarray(clips)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        if x.ndim == 4:  # one clip (T,H,W,3)
+            x = x[None]
+        return jnp.asarray(x)
+
+    def encode(self, clips) -> jax.Array:
+        """Clips (B,T,H,W,3) uint8 [0,255] or float [-1,1] → latents."""
+        return self._encode(self.params, self._to_model_input(clips))
+
+    def decode(self, z) -> np.ndarray:
+        """Latents → float clips in [0,1]."""
+        dec = self._decode(self.params, jnp.asarray(z)).astype(jnp.float32)
+        return np.asarray(jnp.clip(dec * 0.5 + 0.5, 0.0, 1.0))
+
+    def reconstruct(self, clips) -> np.ndarray:
+        return self.decode(self.encode(clips))
+
+
 def _main():
     import click
 
     @click.command()
     @click.option("--checkpoint", required=True)
-    @click.option("--images", required=True, help="space-separated image paths")
+    @click.option("--images", default="", help="space-separated image paths")
+    @click.option("--clips", default="",
+                  help="space-separated .npy uint8 (T,H,W,3) clip paths — "
+                       "runs the 3D (TVAE) pipeline instead of the 2D one")
     @click.option("--out_dir", default="./recon")
     @vae_arch_click_options
-    def reconstruct(checkpoint, images, out_dir, **kw):
+    def reconstruct(checkpoint, images, clips, out_dir, **kw):
+        import click as _click
+
+        if bool(images) == bool(clips):
+            raise _click.UsageError("pass exactly one of --images / --clips")
+        os.makedirs(out_dir, exist_ok=True)
+        if clips:
+            from vqgan_tpu.config import TVAEConfig, parse_ch_mult
+
+            tcfg = TVAEConfig(
+                resolution=kw["vae_resolution"],
+                ch=kw["vae_ch"],
+                ch_mult=parse_ch_mult(kw["vae_ch_mult"]),
+                num_res_blocks=kw["vae_num_res_blocks"],
+                z_channels=kw["vae_z_channels"],
+                reg_type="gaussian" if kw["reg_type"] in (
+                    "gaussian", "identity_gaussian") else kw["reg_type"],
+                vq_codebook_size=kw["vq_codebook_size"],
+                vq_ema_decay=0.0,
+            )
+            tpipe = TVAEPipeline.from_checkpoint(checkpoint, tcfg)
+            for path in clips.split():
+                clip = np.load(path)
+                recon = tpipe.reconstruct(clip.astype(np.uint8))[0]
+                out_path = os.path.join(
+                    out_dir,
+                    os.path.splitext(os.path.basename(path))[0] + "_recon.npy",
+                )
+                np.save(out_path, (recon * 255).astype(np.uint8))
+                print(f"{path} -> {out_path}")
+            return
+
         from PIL import Image
 
         cfg = build_vae_config(kw)
         pipe = VAEPipeline.from_checkpoint(checkpoint, cfg)
-        os.makedirs(out_dir, exist_ok=True)
         for path in images.split():
             img = Image.open(path).convert("RGB")
             s = cfg.resolution
