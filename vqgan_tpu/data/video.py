@@ -88,6 +88,26 @@ def video_transform(
     return tf
 
 
+class _CloseableStreamIter:
+    """Iterator over a TarImageStream that exposes ``close()`` — a consumer
+    that takes only a few batches (e.g. a one-shot eval set) can stop the
+    decode worker threads instead of leaving them in a put-retry loop for
+    the rest of the process lifetime."""
+
+    def __init__(self, stream: TarImageStream):
+        self.stream = stream
+        self._it = iter(stream)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        return next(self._it)
+
+    def close(self) -> None:
+        self.stream.close()
+
+
 def create_video_dataloader(
     url: str,
     batch_size: int,
@@ -97,7 +117,7 @@ def create_video_dataloader(
     do_shuffle: bool = True,
     seed: int = 0,
     loop: bool = True,
-) -> Iterator[np.ndarray]:
+) -> _CloseableStreamIter:
     """Per-host video batch iterator: (local_batch, frames, size, size, 3)
     float32 in [-1, 1]. Shard assignment is disjoint per host (the same
     ``split_by_node`` contract as images); feed the result through
@@ -118,4 +138,4 @@ def create_video_dataloader(
         exts=_CLIP_EXTS,
         decoder=decode_clip,
     )
-    return iter(stream)
+    return _CloseableStreamIter(stream)

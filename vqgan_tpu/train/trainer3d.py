@@ -304,15 +304,13 @@ class Trainer3D:
                         "3d eval: no --test_dataset_url; eval clips come "
                         "from the training shards (metrics optimistic)"
                     )
-                eval_batch = np.asarray(
-                    next(
-                        create_video_dataloader(
-                            eval_url, local_batch, self.frames,
-                            self.tvae_cfg.resolution, num_workers=1,
-                            do_shuffle=False, seed=cfg.seed, loop=False,
-                        )
-                    )
+                esrc = create_video_dataloader(
+                    eval_url, local_batch, self.frames,
+                    self.tvae_cfg.resolution, num_workers=1,
+                    do_shuffle=False, seed=cfg.seed, loop=False,
                 )
+                eval_batch = np.asarray(next(esrc))
+                esrc.close()  # stop the decode worker; one batch is enough
             else:
                 eval_batch = np.asarray(
                     next(
