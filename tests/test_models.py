@@ -114,6 +114,41 @@ def test_tvae_shapes():
     assert dec.shape == (1, 4, 16, 16, 3)
 
 
+def test_tvae_remat_matches_plain():
+    """remat=True is a pure memory/HBM-traffic transform: identical params
+    tree, identical forward, identical gradients."""
+    import dataclasses
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    plain = TVAE(cfg=cfg)
+    remat = TVAE(cfg=dataclasses.replace(cfg, remat=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
+    params = plain.init(rngs, x)["params"]
+    # same params tree structure (remat is transparent to checkpoints)
+    params_r = remat.init(rngs, x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_r
+    )
+
+    def loss(model, p):
+        dec, z = model.apply(
+            {"params": p}, x, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        return jnp.mean(dec.astype(jnp.float32) ** 2) + jnp.mean(
+            z.astype(jnp.float32) ** 2
+        )
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_encoder_decoder_separate_apply():
     cfg = VAEConfig(**TINY)
     model, params = init_vae_params(cfg, jax.random.PRNGKey(0))

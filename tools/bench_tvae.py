@@ -28,7 +28,8 @@ def main():
     @click.option("--ch_mult", type=str, default="1,2,4")
     @click.option("--steps", type=int, default=8)
     @click.option("--dtype", type=str, default="bfloat16")
-    def run(batch, frames, res, ch, ch_mult, steps, dtype):
+    @click.option("--remat", type=bool, default=False)
+    def run(batch, frames, res, ch, ch_mult, steps, dtype, remat):
         import jax
         import numpy as np
 
@@ -37,7 +38,7 @@ def main():
 
         tvae_cfg = TVAEConfig(
             resolution=res, ch=ch, ch_mult=parse_ch_mult(ch_mult),
-            num_res_blocks=1, z_channels=8, compute_dtype=dtype,
+            num_res_blocks=1, z_channels=8, compute_dtype=dtype, remat=remat,
         )
         cfg = TrainConfig(
             batch_size=batch, max_steps=steps, run_name="bench_tvae",

@@ -172,6 +172,8 @@ def train(**kw):
 @click.option("--vae_resolution", type=int, default=64)
 @click.option("--frames", type=int, default=8, help="Clip length T")
 @click.option("--reg_type", type=str, default="gaussian", help="gaussian | vq")
+@click.option("--remat", type=bool, default=False,
+              help="Level+block rematerialization (memory for long clips)")
 @click.option("--learning_rate_vae", type=float, default=1e-2)
 @click.option("--max_steps", type=int, default=1000)
 @click.option("--run_name", type=str, default="tvae_run")
@@ -201,6 +203,7 @@ def train3d(**kw):
         z_channels=kw["vae_z_channels"],
         reg_type=kw["reg_type"],
         vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
+        remat=kw["remat"],
     )
     cfg = TrainConfig(
         batch_size=kw["batch_size"],

@@ -98,6 +98,11 @@ class TVAEConfig:
     vq_beta: float = 0.25
     vq_ema_decay: float = 0.99
     compute_dtype: str = "bfloat16"
+    # nested level+block rematerialization (the 2D family's memory scaling
+    # strategy, models/ae.py): for the HBM-bound 3D step it is also a
+    # THROUGHPUT lever — recompute is cheap when the MXU idles at ~20%
+    # while saved-activation traffic saturates HBM (BASELINE.md)
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -220,11 +220,13 @@ class DownLevel3D(nn.Module):
     num_res_blocks: int
     has_downsample: bool
     dtype: Dtype
+    remat: bool = False
 
     @nn.compact
     def __call__(self, h):
+        Block = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks):
-            h = ResnetBlock3D(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+            h = Block(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
         if self.has_downsample:
             h = Downsample3D(dtype=self.dtype, name="downsample")(h)
         return h
@@ -235,11 +237,13 @@ class UpLevel3D(nn.Module):
     num_res_blocks: int
     has_upsample: bool
     dtype: Dtype
+    remat: bool = False
 
     @nn.compact
     def __call__(self, h):
+        Block = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks + 1):
-            h = ResnetBlock3D(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+            h = Block(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
         if self.has_upsample:
             h = Upsample3D(dtype=self.dtype, name="upsample")(h)
         return h
@@ -256,17 +260,20 @@ class Encoder3D(nn.Module):
     dtype: Dtype = jnp.float32
     mesh: Any = None
     ring_axis: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
+        Level = nn.remat(DownLevel3D) if self.remat else DownLevel3D
         h = conv3d(self.ch, 3, self.dtype, x.shape[-1] * 27, name="conv_in")(x)
         for i in range(n):
-            h = DownLevel3D(
+            h = Level(
                 block_out=self.ch * self.ch_mult[i],
                 num_res_blocks=self.num_res_blocks,
                 has_downsample=i != n - 1,
                 dtype=self.dtype,
+                remat=self.remat,
                 name=f"down_{i}",
             )(h)
         block_in = self.ch * self.ch_mult[-1]
@@ -291,10 +298,12 @@ class Decoder3D(nn.Module):
     dtype: Dtype = jnp.float32
     mesh: Any = None
     ring_axis: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
+        Level = nn.remat(UpLevel3D) if self.remat else UpLevel3D
         block_in = self.ch * self.ch_mult[-1]
         h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
@@ -302,11 +311,12 @@ class Decoder3D(nn.Module):
                         ring_axis=self.ring_axis, name="mid_attn_1")(h)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
         for i in reversed(range(n)):
-            h = UpLevel3D(
+            h = Level(
                 block_out=self.ch * self.ch_mult[i],
                 num_res_blocks=self.num_res_blocks,
                 has_upsample=i != 0,
                 dtype=self.dtype,
+                remat=self.remat,
                 name=f"up_{i}",
             )(h)
         h = GroupNorm3D(name="norm_out")(h)
@@ -342,6 +352,7 @@ class TVAE(nn.Module):
             dtype=dtype,
             mesh=self.mesh,
             ring_axis=self.ring_axis,
+            remat=self.cfg.remat,
         )
         self.decoder = Decoder3D(
             ch=self.cfg.ch,
@@ -351,6 +362,7 @@ class TVAE(nn.Module):
             dtype=dtype,
             mesh=self.mesh,
             ring_axis=self.ring_axis,
+            remat=self.cfg.remat,
         )
         if self.cfg.reg_type == "gaussian":
             self.reg = DiagonalGaussian()
