@@ -80,6 +80,23 @@ def test_video_dataloader_batches(tmp_path):
     assert -1.0 <= batch.min() and batch.max() <= 1.0
 
 
+def test_undersized_dataset_surfaces_error(tmp_path, caplog):
+    """Clips smaller than the target size: per-sample resilience must not
+    become a silent infinite hang — the worker logs a dataset-wide error and
+    (loop=False) the iterator ends instead of blocking forever."""
+    import logging
+
+    _make_clip_tar(tmp_path / "00000.tar", n_clips=60, t=4, h=8, w=8)
+    it = create_video_dataloader(
+        str(tmp_path / "00000.tar"),
+        batch_size=4, frames=4, size=64, num_workers=1, seed=0, loop=False,
+    )
+    with caplog.at_level(logging.ERROR, logger="vqgan_tpu"):
+        with pytest.raises(StopIteration):
+            next(it)
+    assert any("ALL failed" in r.message for r in caplog.records)
+
+
 def test_trainer3d_on_clip_tar(tmp_path):
     """End-to-end: the 3D trainer learns from a real clip tar."""
     from vqgan_tpu.config import TrainConfig, TVAEConfig
