@@ -194,3 +194,25 @@ def test_tvae_ring_attention_matches_dense(eight_devices):
         )(params, xb)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=3e-4)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=3e-4)
+
+
+def test_tvae_attn_chunk_matches_dense():
+    """attn_chunk is numerics-transparent: same params tree, same forward
+    as the dense mid-block attention."""
+    import dataclasses
+
+    cfg = TVAEConfig(
+        resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    dense = TVAE(cfg=cfg)
+    chunked = TVAE(cfg=dataclasses.replace(cfg, attn_chunk=256))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
+    params = dense.init(rngs, x)["params"]
+    # mid-block tokens: (4/2)·16·16 = 512, chunk 256 → 2 chunks
+    z_d = dense.apply({"params": params}, x, method=dense.encode)
+    z_c = chunked.apply({"params": params}, x, method=chunked.encode)
+    np.testing.assert_allclose(
+        np.asarray(z_c), np.asarray(z_d), rtol=2e-5, atol=2e-5
+    )

@@ -144,3 +144,39 @@ def test_ring_attention_matches_dense(eight_devices):
     )(q, k, v)
     for a, b_ in zip(g_ref, g_ring):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-5)
+
+
+def test_chunked_attention_matches_dense():
+    """Exact chunked (flash-style) attention: forward AND gradients match
+    dense SDPA; custom-VJP backward recomputes scores per chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.chunked_attention import chunked_attention
+
+    b, n, h, d = 2, 64, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, n, h, d))
+    k = jax.random.normal(ks[1], (b, n, h, d))
+    v = jax.random.normal(ks[2], (b, n, h, d))
+    g = jax.random.normal(ks[3], (b, n, h, d))
+
+    def dense(q, k, v):
+        return jax.nn.dot_product_attention(q, k, v)
+
+    for chunk in (16, 32, 64):
+        out_c = chunked_attention(q, k, v, chunk)
+        out_d = dense(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_d), rtol=2e-5, atol=2e-6
+        )
+        loss_c = lambda *a: jnp.vdot(chunked_attention(*a, chunk), g)
+        loss_d = lambda *a: jnp.vdot(dense(*a), g)
+        gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gc, gd):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5
+            )
+    with pytest.raises(ValueError, match="divide"):
+        chunked_attention(q, k, v, 48)

@@ -29,7 +29,8 @@ def main():
     @click.option("--steps", type=int, default=8)
     @click.option("--dtype", type=str, default="bfloat16")
     @click.option("--remat", type=bool, default=False)
-    def run(batch, frames, res, ch, ch_mult, steps, dtype, remat):
+    @click.option("--attn_chunk", type=int, default=0)
+    def run(batch, frames, res, ch, ch_mult, steps, dtype, remat, attn_chunk):
         import jax
         import numpy as np
 
@@ -39,6 +40,7 @@ def main():
         tvae_cfg = TVAEConfig(
             resolution=res, ch=ch, ch_mult=parse_ch_mult(ch_mult),
             num_res_blocks=1, z_channels=8, compute_dtype=dtype, remat=remat,
+            attn_chunk=attn_chunk,
         )
         cfg = TrainConfig(
             batch_size=batch, max_steps=steps, run_name="bench_tvae",

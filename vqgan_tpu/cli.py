@@ -174,6 +174,10 @@ def train(**kw):
 @click.option("--reg_type", type=str, default="gaussian", help="gaussian | vq")
 @click.option("--remat", type=bool, default=False,
               help="Level+block rematerialization (memory for long clips)")
+@click.option("--attn_chunk", type=int, default=0,
+              help="Exact chunked mid-block attention over this many k/v "
+                   "tokens (0 = dense) — single-chip long clips whose "
+                   "dense score matrix exceeds HBM")
 @click.option("--learning_rate_vae", type=float, default=1e-2)
 @click.option("--max_steps", type=int, default=1000)
 @click.option("--run_name", type=str, default="tvae_run")
@@ -204,6 +208,7 @@ def train3d(**kw):
         reg_type=kw["reg_type"],
         vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
         remat=kw["remat"],
+        attn_chunk=kw["attn_chunk"],
     )
     cfg = TrainConfig(
         batch_size=kw["batch_size"],

@@ -103,6 +103,12 @@ class TVAEConfig:
     # THROUGHPUT lever — recompute is cheap when the MXU idles at ~20%
     # while saved-activation traffic saturates HBM (BASELINE.md)
     remat: bool = False
+    # mid-block attention over k/v chunks of this many tokens (exact
+    # flash-style online softmax, ops/chunked_attention.py) instead of dense
+    # SDPA — the single-chip answer to the O(N²) score matrix that OOMs
+    # long clips (BASELINE.md). 0 = dense; ignored when the ring (context
+    # axis) path is active; falls back to dense if tokens don't divide.
+    attn_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -117,6 +117,7 @@ class AttnBlock3D(nn.Module):
     num_heads: int = 8
     mesh: Any = None
     ring_axis: str | None = None
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -177,7 +178,21 @@ class AttnBlock3D(nn.Module):
             def heads(z):
                 return z.reshape(b, t * h * w, self.num_heads, head_dim)
 
-            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+            n_tok = t * h * w
+            if (
+                self.attn_chunk
+                and n_tok > self.attn_chunk
+                and n_tok % self.attn_chunk == 0
+            ):
+                # exact chunked attention: long clips whose dense score
+                # matrix would not fit one chip's HBM
+                from vqgan_tpu.ops.chunked_attention import chunked_attention
+
+                out = chunked_attention(
+                    heads(q), heads(k), heads(v), self.attn_chunk
+                )
+            else:
+                out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
             out = out.reshape(b, t, h, w, c)
         out = nn.Conv(
             c,
@@ -261,6 +276,7 @@ class Encoder3D(nn.Module):
     mesh: Any = None
     ring_axis: str | None = None
     remat: bool = False
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -279,7 +295,8 @@ class Encoder3D(nn.Module):
         block_in = self.ch * self.ch_mult[-1]
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
-                        ring_axis=self.ring_axis, name="mid_attn_1")(h)
+                        ring_axis=self.ring_axis,
+                        attn_chunk=self.attn_chunk, name="mid_attn_1")(h)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
         h = GroupNorm3D(name="norm_out")(h)
         h = jax.nn.silu(h)
@@ -299,6 +316,7 @@ class Decoder3D(nn.Module):
     mesh: Any = None
     ring_axis: str | None = None
     remat: bool = False
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -308,7 +326,8 @@ class Decoder3D(nn.Module):
         h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
-                        ring_axis=self.ring_axis, name="mid_attn_1")(h)
+                        ring_axis=self.ring_axis,
+                        attn_chunk=self.attn_chunk, name="mid_attn_1")(h)
         h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
         for i in reversed(range(n)):
             h = Level(
@@ -353,6 +372,7 @@ class TVAE(nn.Module):
             mesh=self.mesh,
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
+            attn_chunk=self.cfg.attn_chunk,
         )
         self.decoder = Decoder3D(
             ch=self.cfg.ch,
@@ -363,6 +383,7 @@ class TVAE(nn.Module):
             mesh=self.mesh,
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
+            attn_chunk=self.cfg.attn_chunk,
         )
         if self.cfg.reg_type == "gaussian":
             self.reg = DiagonalGaussian()
