@@ -155,3 +155,38 @@ def test_exported_tvae_rejects_bad_geometry(tmp_path):
     )
     with pytest.raises(ValueError, match="frames"):
         export_tvae(cfg, {}, str(tmp_path), frames=3, platforms=("cpu",))
+
+
+def test_exported_tvae_vq(tmp_path):
+    """VQ TVAE export (loss-based codebook, decay 0): encode bakes in
+    nearest-code quantization; EMA-codebook configs are rejected upfront."""
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.export import ExportedTVAE, export_tvae
+    from vqgan_tpu.models.tae import TVAE
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", reg_type="vq", vq_codebook_size=32,
+        vq_ema_decay=0.0,
+    )
+    model = TVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(9)
+    params = model.init(
+        {"params": rng, "sample": rng}, jnp.zeros((1, 4, 16, 16, 3))
+    )["params"]
+    export_tvae(cfg, params, str(tmp_path), frames=4, platforms=("cpu",))
+    loaded = ExportedTVAE.load(str(tmp_path))
+    clips = (np.random.RandomState(9).rand(1, 4, 16, 16, 3) * 255).astype(
+        np.uint8
+    )
+    z = loaded.encode(clips)
+    codebook = np.asarray(params["reg"]["codebook"])
+    dists = ((z.reshape(-1, 8)[:, None, :] - codebook[None]) ** 2).sum(-1)
+    assert float(dists.min(axis=1).max()) < 1e-9  # every vector is a code
+    import dataclasses
+
+    with pytest.raises(ValueError, match="vq_ema_decay"):
+        export_tvae(
+            dataclasses.replace(cfg, vq_ema_decay=0.99), params,
+            str(tmp_path), frames=4, platforms=("cpu",),
+        )

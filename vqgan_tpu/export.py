@@ -152,6 +152,12 @@ def export_tvae(
     from vqgan_tpu.models.tae import TVAE
 
     assert isinstance(cfg, TVAEConfig), cfg
+    if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0:
+        raise ValueError(
+            "exporting a VQ TVAE requires vq_ema_decay=0 (serving reads the "
+            "codebook purely from params; re-instantiate the config — the "
+            "train3d CLI already uses loss-based VQ with decay 0)"
+        )
     model = TVAE(cfg=cfg)
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 
