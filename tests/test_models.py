@@ -216,3 +216,21 @@ def test_tvae_attn_chunk_matches_dense():
     np.testing.assert_allclose(
         np.asarray(z_c), np.asarray(z_d), rtol=2e-5, atol=2e-5
     )
+
+
+def test_tvae_attn_chunk_rejects_non_divisor():
+    """A non-divisible attn_chunk must error at trace time, not silently
+    fall back to the dense path whose score matrix the flag exists to avoid."""
+    import dataclasses
+
+    cfg = TVAEConfig(
+        resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", attn_chunk=100,  # 512 tokens % 100 != 0
+    )
+    model = TVAE(cfg=cfg)
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    with pytest.raises(ValueError, match="attn_chunk"):
+        model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            x,
+        )

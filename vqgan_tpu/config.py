@@ -107,7 +107,8 @@ class TVAEConfig:
     # flash-style online softmax, ops/chunked_attention.py) instead of dense
     # SDPA — the single-chip answer to the O(N²) score matrix that OOMs
     # long clips (BASELINE.md). 0 = dense; ignored when the ring (context
-    # axis) path is active; falls back to dense if tokens don't divide.
+    # axis) path is active or tokens ≤ chunk; a non-divisible token count is
+    # an error (silent dense fallback would reintroduce the OOM).
     attn_chunk: int = 0
 
 

@@ -311,11 +311,16 @@ def _main():
                   help="vae (2D image) | tvae (3D video)")
     @click.option("--frames", type=int, default=16,
                   help="clip length for --family tvae (static in the artifact)")
+    @click.option("--attn_chunk", type=int, default=0,
+                  help="tvae only: chunked mid-block attention, like the "
+                       "train3d flag — required to serve long-clip models "
+                       "whose dense score matrix exceeds accelerator memory")
     @click.option("--do_clamp", type=bool, default=True)
     @click.option("--clamp_th", type=float, default=8.0)
     @click.option("--platforms", type=str, default="cpu,tpu")
     @vae_arch_click_options
-    def run(checkpoint, out_dir, family, frames, do_clamp, clamp_th, platforms, **kw):
+    def run(checkpoint, out_dir, family, frames, attn_chunk, do_clamp,
+            clamp_th, platforms, **kw):
         params = _load_export_weights(checkpoint)
         plats = tuple(p.strip() for p in platforms.split(",") if p.strip())
         if family == "tvae":
@@ -331,6 +336,7 @@ def _main():
                     "gaussian", "identity_gaussian") else kw["reg_type"],
                 vq_codebook_size=kw["vq_codebook_size"],
                 vq_ema_decay=0.0,
+                attn_chunk=attn_chunk,
             )
             export_tvae(tcfg, params, out_dir, frames=frames, platforms=plats)
         elif family == "vae":

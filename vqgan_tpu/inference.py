@@ -220,9 +220,12 @@ def _main():
     @click.option("--clips", default="",
                   help="space-separated .npy uint8 (T,H,W,3) clip paths — "
                        "runs the 3D (TVAE) pipeline instead of the 2D one")
+    @click.option("--attn_chunk", type=int, default=0,
+                  help="clips only: chunked mid-block attention for long "
+                       "clips (same flag as train3d/export)")
     @click.option("--out_dir", default="./recon")
     @vae_arch_click_options
-    def reconstruct(checkpoint, images, clips, out_dir, **kw):
+    def reconstruct(checkpoint, images, clips, attn_chunk, out_dir, **kw):
         import click as _click
 
         if bool(images) == bool(clips):
@@ -241,6 +244,7 @@ def _main():
                     "gaussian", "identity_gaussian") else kw["reg_type"],
                 vq_codebook_size=kw["vq_codebook_size"],
                 vq_ema_decay=0.0,
+                attn_chunk=attn_chunk,
             )
             tpipe = TVAEPipeline.from_checkpoint(checkpoint, tcfg)
             for path in clips.split():

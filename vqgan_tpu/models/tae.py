@@ -179,11 +179,17 @@ class AttnBlock3D(nn.Module):
                 return z.reshape(b, t * h * w, self.num_heads, head_dim)
 
             n_tok = t * h * w
-            if (
-                self.attn_chunk
-                and n_tok > self.attn_chunk
-                and n_tok % self.attn_chunk == 0
-            ):
+            if self.attn_chunk and n_tok > self.attn_chunk:
+                if n_tok % self.attn_chunk:
+                    # falling back to dense would reintroduce the O(N²)
+                    # score matrix the flag exists to avoid — on a long clip
+                    # that is a 20-min compile then an opaque HBM OOM, so
+                    # fail with the fix instead
+                    raise ValueError(
+                        f"attn_chunk {self.attn_chunk} must divide the "
+                        f"mid-block token count {n_tok} (= T·H·W after "
+                        f"downsampling); pick a divisor of {n_tok}"
+                    )
                 # exact chunked attention: long clips whose dense score
                 # matrix would not fit one chip's HBM
                 from vqgan_tpu.ops.chunked_attention import chunked_attention
@@ -293,11 +299,14 @@ class Encoder3D(nn.Module):
                 name=f"down_{i}",
             )(h)
         block_in = self.ch * self.ch_mult[-1]
-        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        # mid blocks remat too (2D-family parity, ae.py:137-143) — they are
+        # the widest-channel activations at the attention resolution
+        Mid = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
+        h = Mid(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
                         attn_chunk=self.attn_chunk, name="mid_attn_1")(h)
-        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = Mid(block_in, dtype=self.dtype, name="mid_block_2")(h)
         h = GroupNorm3D(name="norm_out")(h)
         h = jax.nn.silu(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
@@ -322,13 +331,14 @@ class Decoder3D(nn.Module):
     def __call__(self, z: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
         Level = nn.remat(UpLevel3D) if self.remat else UpLevel3D
+        Mid = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
         block_in = self.ch * self.ch_mult[-1]
         h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
-        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = Mid(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
                         attn_chunk=self.attn_chunk, name="mid_attn_1")(h)
-        h = ResnetBlock3D(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = Mid(block_in, dtype=self.dtype, name="mid_block_2")(h)
         for i in reversed(range(n)):
             h = Level(
                 block_out=self.ch * self.ch_mult[i],

@@ -57,7 +57,9 @@ def _forward(q, k, v, chunk_size):
     in_dtype = q.dtype
     b, n, h, d = q.shape
     if n % chunk_size:
-        raise ValueError(f"token count {n} must divide chunk_size {chunk_size}")
+        raise ValueError(
+            f"chunk_size {chunk_size} must divide the token count {n}"
+        )
     scale = d ** -0.5
     qf = q.astype(jnp.float32).transpose(0, 2, 1, 3) * scale  # (B,H,N,D)
     kc = _split_chunks(k.astype(jnp.float32), chunk_size)

@@ -321,29 +321,40 @@ class Trainer3D:
                     )
                 )
         metrics = None
-        for step_i in range(self.start_step, cfg.max_steps):
-            # per-host local array → global batch (a plain device_put with
-            # the global sharding would misread the local array on pods)
-            batch = jax.make_array_from_process_local_data(
-                self.batch_shard, np.asarray(next(src))
-            )
-            self.params, self.opt_state, self.rng, metrics = self._step(
-                self.params, self.opt_state, batch, self.rng
-            )
-            if step_i % cfg.log_every == 0:
-                vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                self.logger.log(vals, step_i)
-                self.logger.info(
-                    f"3d step {step_i}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+        try:
+            for step_i in range(self.start_step, cfg.max_steps):
+                # per-host local array → global batch (a plain device_put
+                # with the global sharding would misread the local array on
+                # pods)
+                batch = jax.make_array_from_process_local_data(
+                    self.batch_shard, np.asarray(next(src))
                 )
-            # cadence: % n == 1 (2D-reference convention); n == 1 means every
-            # step — the bare modulo form never fires for n=1
-            n = cfg.evaluate_every_n_steps
-            if n > 0 and (n == 1 or (step_i + 1) % n == 1):
-                self._guard_finite(metrics, step_i)
-                if eval_batch is not None:
-                    self._eval(step_i, eval_batch)
-                self.save(step_i + 1)
+                self.params, self.opt_state, self.rng, metrics = self._step(
+                    self.params, self.opt_state, batch, self.rng
+                )
+                if step_i % cfg.log_every == 0:
+                    vals = {
+                        k: float(v) for k, v in jax.device_get(metrics).items()
+                    }
+                    self.logger.log(vals, step_i)
+                    self.logger.info(
+                        f"3d step {step_i}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                    )
+                # cadence: % n == 1 (2D-reference convention); n == 1 means
+                # every step — the bare modulo form never fires for n=1
+                n = cfg.evaluate_every_n_steps
+                if n > 0 and (n == 1 or (step_i + 1) % n == 1):
+                    self._guard_finite(metrics, step_i)
+                    if eval_batch is not None:
+                        self._eval(step_i, eval_batch)
+                    self.save(step_i + 1)
+        finally:
+            # stop the decode workers whether we finished or raised — the
+            # (loop=True) train stream would otherwise spin for the rest of
+            # the process lifetime
+            if hasattr(src, "close"):
+                src.close()
         self._guard_finite(metrics, cfg.max_steps)
         if eval_batch is not None:
             self._eval(cfg.max_steps, eval_batch)
