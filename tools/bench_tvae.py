@@ -30,7 +30,10 @@ def main():
     @click.option("--dtype", type=str, default="bfloat16")
     @click.option("--remat", type=bool, default=False)
     @click.option("--attn_chunk", type=int, default=0)
-    def run(batch, frames, res, ch, ch_mult, steps, dtype, remat, attn_chunk):
+    @click.option("--profile_dir", type=str, default=None,
+                  help="capture a jax.profiler trace of the measured steps")
+    def run(batch, frames, res, ch, ch_mult, steps, dtype, remat, attn_chunk,
+            profile_dir):
         import jax
         import numpy as np
 
@@ -62,10 +65,18 @@ def main():
         float(m["loss"])  # host-fetch sync (block_until_ready is a no-op
         # through the axon tunnel — see CLAUDE.md)
 
+        import contextlib
+
+        prof = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir
+            else contextlib.nullcontext()
+        )
         t0 = time.perf_counter()
-        for _ in range(steps):
-            m = one_step()
-        loss = float(m["loss"])
+        with prof:
+            for _ in range(steps):
+                m = one_step()
+            loss = float(m["loss"])
         dt = time.perf_counter() - t0
         assert np.isfinite(loss), loss
         step_s = dt / steps
