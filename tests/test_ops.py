@@ -180,3 +180,68 @@ def test_chunked_attention_matches_dense():
             )
     with pytest.raises(ValueError, match="divide"):
         chunked_attention(q, k, v, 48)
+
+
+def test_flash_attention_pallas_matches_dense():
+    """The Pallas TPU flash kernel (interpret mode on CPU): forward and
+    gradients match dense SDPA at the TVAE head geometry (head_dim 32)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vqgan_tpu.ops.flash_attention import flash_attention_tpu
+
+    b, n, h, d = 1, 256, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, n, h, d))
+    k = jax.random.normal(ks[1], (b, n, h, d))
+    v = jax.random.normal(ks[2], (b, n, h, d))
+    g = jax.random.normal(ks[3], (b, n, h, d))
+
+    out_d = jax.nn.dot_product_attention(q, k, v)
+    gd = jax.grad(
+        lambda *a: jnp.vdot(jax.nn.dot_product_attention(*a), g),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out_p = flash_attention_tpu(q, k, v)
+        gp = jax.grad(
+            lambda *a: jnp.vdot(flash_attention_tpu(*a), g), argnums=(0, 1, 2)
+        )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_d), rtol=2e-5, atol=2e-6
+    )
+    for a, b_ in zip(gp, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_memory_efficient_attention_dispatch():
+    """impl="auto" picks lax off-TPU; block-size selection tiles the long-clip
+    token count; untileable counts fall back to lax instead of erroring."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops import flash_attention as fa
+
+    assert fa.supports_flash(49152)
+    bs = fa._block_sizes(49152)
+    assert 49152 % bs.block_q == 0 and 49152 % bs.block_k_major == 0
+    assert bs.has_backward_blocks
+    # 8320 = 65*128: divisible by 128 but not by 256 — picks 128 tiles
+    bs_small = fa._block_sizes(8320)
+    assert bs_small.block_q == 128
+    assert not fa.supports_flash(48)  # not a 128 multiple
+
+    b, n, h, d = 1, 64, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, n, h, d)) for kk in ks)
+    # on the CPU test backend auto must route to the lax path and agree
+    out = fa.memory_efficient_attention(q, k, v, 32, impl="auto")
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+    with pytest.raises(ValueError, match="impl"):
+        fa.memory_efficient_attention(q, k, v, 32, impl="cuda")

@@ -118,3 +118,94 @@ def test_trainer3d_checkpoint_resume(tmp_path):
     ) < 1e-7
     # resumed training continues past max_steps without re-running steps
     t2.train()  # start_step == max_steps → zero additional steps, clean exit
+
+
+def test_trainer3d_gan_stack(tmp_path):
+    """--do_ganloss on the 3D trainer: the full per-frame GAN/LPIPS stack
+    (PatchDiscriminator + LPIPS + GradNorm + LeCam, train/step3d.py) runs,
+    both optimizers move their params, metrics carry the 2D GAN keys, and
+    the frame-subset path (video_loss_frames < T) compiles and stays
+    finite."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        learning_rate_vae=0.03,
+        max_steps=3,
+        run_name="t3dgan",
+        use_wandb=False,
+        ckpt_dir=str(tmp_path),
+        log_every=100,
+        do_ganloss=True,
+        use_lecam=True,
+        disc_type="hinge",
+        video_loss_frames=2,  # of 4 — exercises the strided subset
+        evaluate_every_n_steps=0,
+        eval_batches=0,
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=4)
+    d0 = jax.device_get(trainer.state.d_params)
+    g0 = jax.device_get(trainer.state.g_params)
+    src = synthetic_video_batches(8, 4, 16, seed=42)
+    for _ in range(3):
+        batch = jax.device_put(next(src), trainer.batch_shard)
+        trainer.state, metrics = trainer._step(
+            trainer.state, batch, trainer.lpips_params
+        )
+    vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    for key in (
+        "perceptual_loss",
+        "recon_l2",
+        "kl",
+        "gan/discriminator_loss",
+        "gan/generator_gan_loss",
+        "gan/lecam_loss",
+        "overall_vae_loss",
+    ):
+        assert key in vals and np.isfinite(vals[key]), (key, vals)
+    # both parameter sets actually trained
+    d1 = jax.device_get(trainer.state.d_params)
+    g1 = jax.device_get(trainer.state.g_params)
+
+    def moved(a, b):
+        return any(
+            np.abs(np.asarray(x) - np.asarray(y)).max() > 0
+            for x, y in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        )
+
+    assert moved(d0, d1), "discriminator did not update"
+    assert moved(g0, g1), "generator did not update"
+    assert int(trainer.state.step) == 3
+
+
+def test_trainer3d_gan_checkpoint_resume(tmp_path):
+    """GAN-path full-state checkpointing: a fresh Trainer3D for the same run
+    resumes the TrainState (params, both optimizers, LeCam anchors, step)."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    kw = dict(
+        batch_size=8, max_steps=2, run_name="t3dganck", use_wandb=False,
+        ckpt_dir=str(tmp_path), log_every=100, do_ganloss=True,
+        evaluate_every_n_steps=0, eval_batches=0, synthetic_data=True,
+    )
+    t1 = Trainer3D(TrainConfig(**kw), tvae_cfg, frames=4)
+    t1.train()
+    assert int(t1.state.step) == 2
+
+    t2 = Trainer3D(TrainConfig(**kw), tvae_cfg, frames=4)
+    assert t2.start_step == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t1.state.g_params)),
+        jax.tree_util.tree_leaves(jax.device_get(t2.state.g_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

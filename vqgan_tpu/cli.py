@@ -179,6 +179,16 @@ def train(**kw):
                    "tokens (0 = dense) — single-chip long clips whose "
                    "dense score matrix exceeds HBM")
 @click.option("--learning_rate_vae", type=float, default=1e-2)
+@click.option("--do_ganloss", type=bool, default=False,
+              help="Full per-frame GAN/LPIPS stack (PatchDiscriminator + "
+                   "LPIPS + GradNorm branches + LeCam) — the 2D trainer's "
+                   "loss stack applied to video (train/step3d.py)")
+@click.option("--disc_type", type=str, default="bce", help="bce | hinge")
+@click.option("--use_lecam", type=bool, default=False)
+@click.option("--learning_rate_disc", type=float, default=2e-4)
+@click.option("--video_loss_frames", type=int, default=0,
+              help="Frames per clip fed to the perceptual/GAN branches "
+                   "(strided subset, random phase; 0 = all frames)")
 @click.option("--max_steps", type=int, default=1000)
 @click.option("--run_name", type=str, default="tvae_run")
 @click.option("--mesh_shape", type=str, default="data=-1")
@@ -217,6 +227,11 @@ def train3d(**kw):
         synthetic_data=not kw["dataset_url"],
         num_workers=kw["num_workers"],
         learning_rate_vae=kw["learning_rate_vae"],
+        do_ganloss=kw["do_ganloss"],
+        disc_type=kw["disc_type"],
+        use_lecam=kw["use_lecam"],
+        learning_rate_disc=kw["learning_rate_disc"],
+        video_loss_frames=kw["video_loss_frames"],
         max_steps=kw["max_steps"],
         run_name=kw["run_name"],
         mesh_shape=kw["mesh_shape"],

@@ -110,6 +110,11 @@ class TVAEConfig:
     # axis) path is active or tokens ≤ chunk; a non-divisible token count is
     # an error (silent dense fallback would reintroduce the OOM).
     attn_chunk: int = 0
+    # implementation of the chunked path: "auto" picks the Pallas TPU flash
+    # kernel (ops/flash_attention.py) on a TPU backend and the portable lax
+    # scan elsewhere; "pallas"/"lax" force one. jax.export artifacts always
+    # use lax (a baked Pallas call would be TPU-only StableHLO).
+    attn_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +163,11 @@ class TrainConfig:
     gradnorm_gan: float = 1.0  # vae_trainer.py:683
     augment_before_perceptual_loss: bool = False
     lpips_weights: Optional[str] = None  # path to converted LPIPS weights
+    # video (train3d) GAN/LPIPS stack: number of frames per clip fed to the
+    # per-frame perceptual + discriminator branches (strided subset with a
+    # traced random phase, train/step3d.py). 0 = every frame. The L2 branch
+    # always sees all frames.
+    video_loss_frames: int = 0
 
     # latent behaviors (vae_trainer.py:561-621)
     do_clamp: bool = False

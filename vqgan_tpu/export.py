@@ -152,6 +152,10 @@ def export_tvae(
     from vqgan_tpu.models.tae import TVAE
 
     assert isinstance(cfg, TVAEConfig), cfg
+    # a Pallas call baked into the StableHLO would make the artifact
+    # TPU-only; the lax chunked path is exact and lowers on every platform
+    if cfg.attn_impl != "lax":
+        cfg = dataclasses.replace(cfg, attn_impl="lax")
     if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0:
         raise ValueError(
             "exporting a VQ TVAE requires vq_ema_decay=0 (serving reads the "

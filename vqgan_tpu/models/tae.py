@@ -70,15 +70,25 @@ def conv3d(
 
 
 class GroupNorm3D(nn.Module):
+    """fp32 GroupNorm; ``fused_swish`` folds the following silu into the
+    op's single elementwise sweep (ops/normalization.py) — the 2D family's
+    norm→silu fusion (models/blocks.py), ported because the 3D step is
+    HBM-bound (BASELINE.md: 78.5% HBM at 19.4% FLOP peak) and every saved
+    full-size activation pass is throughput."""
+
     num_groups: int = 32
     eps: float = 1e-6
+    fused_swish: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm_fp32(x, scale, bias, self.num_groups, self.eps)
+        return group_norm_fp32(
+            x, scale, bias, self.num_groups, self.eps,
+            with_swish=self.fused_swish,
+        )
 
 
 class ResnetBlock3D(nn.Module):
@@ -88,11 +98,9 @@ class ResnetBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c_in = x.shape[-1]
-        h = GroupNorm3D(name="norm1")(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm3D(name="norm1", fused_swish=True)(x)
         h = conv3d(self.out_channels, 3, self.dtype, c_in * 27, name="conv1")(h)
-        h = GroupNorm3D(name="norm2")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm3D(name="norm2", fused_swish=True)(h)
         h = conv3d(
             self.out_channels, 3, self.dtype, self.out_channels * 27, name="conv2"
         )(h)
@@ -118,6 +126,7 @@ class AttnBlock3D(nn.Module):
     mesh: Any = None
     ring_axis: str | None = None
     attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -190,12 +199,17 @@ class AttnBlock3D(nn.Module):
                         f"mid-block token count {n_tok} (= T·H·W after "
                         f"downsampling); pick a divisor of {n_tok}"
                     )
-                # exact chunked attention: long clips whose dense score
-                # matrix would not fit one chip's HBM
-                from vqgan_tpu.ops.chunked_attention import chunked_attention
+                # exact memory-efficient attention: long clips whose dense
+                # score matrix would not fit one chip's HBM. On TPU this is
+                # the Pallas flash kernel (VMEM-resident score tiles); the
+                # lax chunk scan is the portable fallback (CPU, export).
+                from vqgan_tpu.ops.flash_attention import (
+                    memory_efficient_attention,
+                )
 
-                out = chunked_attention(
-                    heads(q), heads(k), heads(v), self.attn_chunk
+                out = memory_efficient_attention(
+                    heads(q), heads(k), heads(v), self.attn_chunk,
+                    impl=self.attn_impl,
                 )
             else:
                 out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
@@ -283,6 +297,7 @@ class Encoder3D(nn.Module):
     ring_axis: str | None = None
     remat: bool = False
     attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -305,10 +320,10 @@ class Encoder3D(nn.Module):
         h = Mid(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
-                        attn_chunk=self.attn_chunk, name="mid_attn_1")(h)
+                        attn_chunk=self.attn_chunk,
+                        attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Mid(block_in, dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm3D(name="norm_out")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm3D(name="norm_out", fused_swish=True)(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
         h = conv3d(out_ch, 3, self.dtype, block_in * 27, name="conv_out")(h)
         return h
@@ -326,6 +341,7 @@ class Decoder3D(nn.Module):
     ring_axis: str | None = None
     remat: bool = False
     attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -337,7 +353,8 @@ class Decoder3D(nn.Module):
         h = Mid(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
-                        attn_chunk=self.attn_chunk, name="mid_attn_1")(h)
+                        attn_chunk=self.attn_chunk,
+                        attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Mid(block_in, dtype=self.dtype, name="mid_block_2")(h)
         for i in reversed(range(n)):
             h = Level(
@@ -348,8 +365,7 @@ class Decoder3D(nn.Module):
                 remat=self.remat,
                 name=f"up_{i}",
             )(h)
-        h = GroupNorm3D(name="norm_out")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm3D(name="norm_out", fused_swish=True)(h)
         h = conv3d(self.out_ch, 3, self.dtype, h.shape[-1] * 27, name="conv_out")(h)
         return h
 
@@ -383,6 +399,7 @@ class TVAE(nn.Module):
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
             attn_chunk=self.cfg.attn_chunk,
+            attn_impl=self.cfg.attn_impl,
         )
         self.decoder = Decoder3D(
             ch=self.cfg.ch,
@@ -394,6 +411,7 @@ class TVAE(nn.Module):
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
             attn_chunk=self.cfg.attn_chunk,
+            attn_impl=self.cfg.attn_impl,
         )
         if self.cfg.reg_type == "gaussian":
             self.reg = DiagonalGaussian()

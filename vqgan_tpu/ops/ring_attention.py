@@ -7,12 +7,22 @@ axis as the natural TPU extension: each chip holds a contiguous token block;
 key/value blocks rotate around the ICI ring via ``lax.ppermute`` while a
 flash-style online softmax accumulates, so
 
-  - memory per chip is O(N_local · N_local) per ring step, never O(N²),
+  - memory per chip is O(N_loc · N_loc) per ring step, never O(N²),
   - the k/v transfer for step i+1 overlaps the attention compute of step i
     (XLA schedules the ppermute alongside the matmuls),
   - the result is EXACT full attention (softmax is order-independent over
     key blocks), verified against ``jax.nn.dot_product_attention`` in
     tests/test_ops.py.
+
+The backward is a custom VJP in the same flash style as
+ops/chunked_attention.py: residuals are q, k, v, out and the per-query
+logsumexp (all O(N_loc·D) per chip); scores are RECOMPUTED per ring step
+from the saved logsumexp. Differentiating through the forward scan instead
+would stack each step's (B, H, N_loc, N_loc) probability block plus the
+rotated k/v as residuals — O(N_loc·N) per chip, exactly the memory wall the
+ring exists to remove. dk/dv accumulate on buffers that ROTATE WITH their
+k/v blocks: after a full ring cycle each gradient block arrives back at its
+home chip, so no all-to-all is needed.
 
 ``ring_attention`` runs *inside* ``shard_map``; ``AttnBlock3D`` wraps it
 over the mesh's context axis when constructed with ``mesh``/``ring_axis``
@@ -21,11 +31,18 @@ over the mesh's context axis when constructed with ``mesh``/``ring_axis``
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 
+def _ring_perm(n_shards: int):
+    return [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def ring_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str
 ) -> jax.Array:
@@ -36,12 +53,17 @@ def ring_attention(
     Returns:
       (B, N_local, H, D), same dtype as q; softmax accumulates in fp32.
     """
+    out, _ = _forward(q, k, v, axis_name)
+    return out
+
+
+def _forward(q, k, v, axis_name):
     n_shards = lax.axis_size(axis_name)
     in_dtype = q.dtype
     b, n_loc, h, d = q.shape
     scale = 1.0 / (d ** 0.5)
     qf = q.astype(jnp.float32) * scale
-    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm = _ring_perm(n_shards)
 
     def accumulate(o, m, l, kb, vb):
         # scores for this key block: (B, H, Nq, Nk)
@@ -79,5 +101,58 @@ def ring_attention(
         step, (o0, m0, l0, k, v), None, length=n_shards - 1
     )
     o, m, l = accumulate(o, m, l, kb, vb)
-    out = o / l[..., None]
-    return out.transpose(0, 2, 1, 3).astype(in_dtype)  # (B, Nq, H, D)
+    out = (o / l[..., None]).transpose(0, 2, 1, 3).astype(in_dtype)
+    lse = m + jnp.log(l)  # (B, H, Nq) per-query logsumexp of scaled scores
+    return out, lse
+
+
+def _fwd_rule(q, k, v, axis_name):
+    out, lse = _forward(q, k, v, axis_name)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd_rule(axis_name, res, g):
+    q, k, v, out, lse = res
+    n_shards = lax.axis_size(axis_name)
+    b, n_loc, h, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    perm = _ring_perm(n_shards)
+
+    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)   # (B,H,Nq,D), unscaled
+    do = g.astype(jnp.float32).transpose(0, 2, 1, 3)
+    of = out.astype(jnp.float32).transpose(0, 2, 1, 3)
+    delta = (do * of).sum(axis=-1)                      # (B,H,Nq)
+
+    def step(carry, _):
+        kb, vb, dkb, dvb, dq = carry
+        kf = kb.astype(jnp.float32)                     # (B,Nk,H,D)
+        vf = vb.astype(jnp.float32)
+        # exact probabilities from the saved logsumexp — no online pass
+        s = jnp.einsum("bhqd,bkhd->bhqk", qf, kf) * scale
+        p = jnp.exp(s - lse[..., None])                 # (B,H,Nq,Nk)
+        dvb = dvb + jnp.einsum("bhqk,bhqd->bkhd", p, do)
+        dp = jnp.einsum("bhqd,bkhd->bhqk", do, vf)
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum("bhqk,bkhd->bhqd", ds, kf)
+        dkb = dkb + jnp.einsum("bhqk,bhqd->bkhd", ds, qf)
+        # dk/dv ride the ring WITH their blocks; after the full cycle each
+        # accumulated gradient block is back at its home chip
+        kb = lax.ppermute(kb, axis_name, perm)
+        vb = lax.ppermute(vb, axis_name, perm)
+        dkb = lax.ppermute(dkb, axis_name, perm)
+        dvb = lax.ppermute(dvb, axis_name, perm)
+        return (kb, vb, dkb, dvb, dq), None
+
+    zkv = 0.0 * k.astype(jnp.float32)                   # varying like k
+    dq0 = 0.0 * qf
+    (kb, vb, dk, dv, dq), _ = lax.scan(
+        step, (k, v, zkv, zkv, dq0), None, length=n_shards
+    )
+    return (
+        dq.transpose(0, 2, 1, 3).astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+    )
+
+
+ring_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,232 @@
+"""The jitted full-GAN train step for the video (TVAE) family.
+
+The reference never trains tae.py (tae.py:300-314 is a forward smoke only),
+so there is no reference hot loop to mirror — this brings the 2D trainer's
+complete loss stack (reference vae_trainer.py:524-704: per-branch GradNorm,
+LPIPS, PatchDiscriminator with BCE/hinge + LeCam, D-update-before-G with G
+seeing the updated D) to video, applied per-frame:
+
+  - the generator forward is encode → reparameterized Gaussian (+KL) or VQ →
+    decode, computed once under ``jax.vjp`` (the 2D restructure, train/step.py);
+  - LPIPS and the PatchDiscriminator are the 2D modules run on frames: the
+    (B, T, H, W, 3) clip flattens to (B·T, H, W, 3). For long clips
+    ``cfg.video_loss_frames`` bounds the cost: a strided frame subset with a
+    traced random phase (static count → one XLA program) feeds the perceptual
+    and GAN branches while the cheap L2 branch always sees every frame;
+  - GradNorm branches (ops/gradnorm.py) balance LPIPS / L2 / GAN exactly as
+    the 2D step does (vae_trainer.py:662,679,683);
+  - LeCam anchors EMA over globally-averaged logits (vae_trainer.py:639-655).
+
+State is the same donated ``TrainState`` pytree as the 2D trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vqgan_tpu.config import TrainConfig, TVAEConfig
+from vqgan_tpu.losses.gan import (
+    gan_disc_loss,
+    generator_gan_loss,
+    lecam_penalty,
+    update_lecam_anchors,
+)
+from vqgan_tpu.ops.gradnorm import gradnorm
+from vqgan_tpu.train.state import TrainState
+
+
+def _frame_subset(rng, arrays, k: int):
+    """Pick ``k`` evenly-strided frames with a traced random phase from each
+    (B, T, ...) array. k <= 0 or k >= T keeps all frames. Static k → static
+    shapes; the phase randomizes which frames pay the perceptual/GAN cost
+    across steps so all frames are covered in expectation."""
+    t = arrays[0].shape[1]
+    if k <= 0 or k >= t:
+        return arrays
+    stride = t / k
+    base = jnp.floor(jnp.arange(k) * stride).astype(jnp.int32)
+    shift = jax.random.randint(rng, (), 0, max(1, int(stride)))
+    idx = base + shift
+    return tuple(jnp.take(a, idx, axis=1) for a in arrays)
+
+
+def _flat_frames(x: jax.Array) -> jax.Array:
+    """(B, T, H, W, C) → (B·T, H, W, C) for the 2D loss modules."""
+    b, t, h, w, c = x.shape
+    return x.reshape(b * t, h, w, c)
+
+
+def make_train_step_3d_gan(
+    cfg: TrainConfig,
+    tvae_cfg: TVAEConfig,
+    model,
+    disc_model,
+    lpips_model,
+    g_tx,
+    d_tx,
+) -> Callable:
+    """Returns step(state, batch, lpips_params) -> (state, metrics)."""
+
+    kl_weight = cfg.z_reg_weight
+    use_gan = cfg.do_ganloss
+
+    def gen_forward(g_params, batch, rng_sample):
+        """clip (B,T,H,W,3) → (recon, reg_loss). Gaussian: reparameterized
+        sample + KL (tae.py:253-266 semantics, KL replacing the 2D z²
+        penalty); VQ: quantized latent + codebook loss."""
+        z = model.apply({"params": g_params}, batch, method=model.encode)
+        if tvae_cfg.reg_type == "gaussian":
+            mean, logvar = jnp.split(z.astype(jnp.float32), 2, axis=-1)
+            logvar = jnp.clip(logvar, min=-3.0)  # tae.py:262
+            std = jnp.exp(0.5 * logvar)
+            eps = jax.random.normal(rng_sample, mean.shape)
+            z_s = (mean + std * eps).astype(z.dtype)
+            reg = 0.5 * jnp.mean(mean**2 + jnp.exp(logvar) - 1.0 - logvar)
+        else:
+            out = model.apply(
+                {"params": g_params}, z, method=lambda m, zz: m.reg(zz)
+            )
+            z_s, aux = out if isinstance(out, tuple) else (out, None)
+            reg = aux["vq_loss"] if aux else jnp.mean(jnp.square(z))
+        recon = model.apply({"params": g_params}, z_s, method=model.decode)
+        return recon, reg
+
+    def disc_apply(d_params, frames):
+        return disc_model.apply({"params": d_params}, frames)
+
+    def lpips_apply(lpips_params, x, y):
+        return lpips_model.apply({"params": lpips_params}, x, y)
+
+    if tvae_cfg.remat:
+        disc_apply = jax.checkpoint(disc_apply)
+        lpips_apply = jax.checkpoint(lpips_apply)
+
+    def g_losses(recon, reg_loss, batch, d_params, lpips_params, rng_frames):
+        metrics = {}
+        # heavy per-frame branches see the (possibly subsetted) frames;
+        # the gradient flows back into only those frames of recon —
+        # GradNorm then fixes each branch's scale exactly as in 2D
+        recon_f, target_f = _frame_subset(
+            rng_frames, (recon, batch), cfg.video_loss_frames
+        )
+        recon_lpips = gradnorm(recon_f, cfg.gradnorm_lpips)
+        percep = lpips_apply(
+            lpips_params,
+            _flat_frames(recon_lpips.astype(jnp.float32)),
+            _flat_frames(target_f.astype(jnp.float32)),
+        ).mean()
+        metrics["perceptual_loss"] = percep
+
+        recon_mse = gradnorm(recon, cfg.gradnorm_mse)
+        rec = jnp.mean(jnp.square(recon_mse.astype(jnp.float32) - batch))
+        metrics["recon_l2"] = rec
+        metrics["kl"] = reg_loss
+
+        total = percep + rec + kl_weight * reg_loss
+        if use_gan:
+            recon_gan = gradnorm(recon_f, cfg.gradnorm_gan)
+            fake_preds = disc_apply(
+                d_params, _flat_frames(recon_gan.astype(jnp.float32))
+            )
+            g_gan = generator_gan_loss(fake_preds, cfg.disc_type)
+            metrics["gan/generator_gan_loss"] = g_gan
+            total = total + g_gan
+        metrics["overall_vae_loss"] = total
+        metrics["loss"] = total
+        return total, metrics
+
+    def step(
+        state: TrainState, batch: jax.Array, lpips_params
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, new_rng = jax.random.split(state.rng)
+        k_sample, k_frames = jax.random.split(rng)
+        batch = batch.astype(jnp.float32)
+
+        # --- shared generator forward (one fwd, one bwd total) ---
+        (recon, reg_loss), gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, batch, k_sample), state.g_params
+        )
+        metrics = {}
+
+        # --- discriminator update (before G, 2D step parity) ---
+        d_params = state.d_params
+        d_opt = state.d_opt
+        lecam_real, lecam_fake = state.lecam_real, state.lecam_fake
+        if use_gan:
+            recon_f, target_f = _frame_subset(
+                k_frames,
+                (jax.lax.stop_gradient(recon.astype(jnp.float32)), batch),
+                cfg.video_loss_frames,
+            )
+            fake_frames = _flat_frames(recon_f)
+            real_frames = _flat_frames(target_f)
+
+            def d_loss_fn(dp):
+                real_preds = disc_apply(dp, real_frames)
+                fake_preds = disc_apply(dp, fake_frames)
+                d_loss, d_metrics = gan_disc_loss(
+                    real_preds, fake_preds, cfg.disc_type
+                )
+                new_real, new_fake = update_lecam_anchors(
+                    lecam_real,
+                    lecam_fake,
+                    jax.lax.stop_gradient(d_metrics["avg_real_logits"]),
+                    jax.lax.stop_gradient(d_metrics["avg_fake_logits"]),
+                    cfg.lecam_beta,
+                )
+                total_d = d_loss
+                lecam_val = jnp.zeros((), jnp.float32)
+                if cfg.use_lecam:
+                    lecam_val = lecam_penalty(
+                        real_preds, fake_preds, new_real, new_fake
+                    )
+                    total_d = total_d + cfg.lecam_weight * lecam_val
+                aux = (d_metrics, d_loss, lecam_val, new_real, new_fake)
+                return total_d, aux
+
+            (_, (d_metrics, d_loss, lecam_val, lecam_real, lecam_fake)), d_grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+            )
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+            metrics["gan/discriminator_loss"] = d_loss
+            metrics["gan/discriminator_accuracy"] = d_metrics["disc_acc"]
+            metrics["gan/avg_real_logits"] = d_metrics["avg_real_logits"]
+            metrics["gan/avg_fake_logits"] = d_metrics["avg_fake_logits"]
+            metrics["gan/lecam_loss"] = lecam_val
+            metrics["gan/lecam_anchor_real_logits"] = lecam_real
+            metrics["gan/lecam_anchor_fake_logits"] = lecam_fake
+
+        # --- generator update through the saved vjp (G sees updated D) ---
+        g_total, g_pullback, g_metrics = jax.vjp(
+            lambda r, rl: g_losses(
+                r, rl, batch, d_params, lpips_params, k_frames
+            ),
+            recon,
+            reg_loss,
+            has_aux=True,
+        )
+        d_recon, d_reg = g_pullback(jnp.ones((), g_total.dtype))
+        (g_grads,) = gen_vjp((d_recon, d_reg))
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        metrics.update(g_metrics)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            g_opt=g_opt,
+            d_params=d_params,
+            d_opt=d_opt,
+            lecam_real=lecam_real,
+            lecam_fake=lecam_fake,
+            rng=new_rng,
+            vq_ema=state.vq_ema,
+        )
+        return new_state, metrics
+
+    return step

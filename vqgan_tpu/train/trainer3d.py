@@ -124,17 +124,55 @@ class Trainer3D:
         rng = jax.random.PRNGKey(cfg.seed)
         x0 = jnp.zeros((1, frames, tvae_cfg.resolution, tvae_cfg.resolution, 3))
         self.params = self.model.init({"params": rng, "sample": rng}, x0)["params"]
-        self.tx = optax.adamw(
-            cfg.learning_rate_vae / tvae_cfg.ch,
-            b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay,
-        )
-        self.opt_state = self.tx.init(self.params)
-        self.rng = jax.random.PRNGKey(cfg.seed + 1)
-        self.params = jax.device_put(self.params, replicated(self.mesh))
-        self._step = jax.jit(
-            make_train_step_3d(cfg, tvae_cfg, self.model, self.tx),
-            donate_argnums=(0, 1),
-        )
+        self.use_gan = cfg.do_ganloss
+        if self.use_gan:
+            # the full 2D loss stack applied per-frame (train/step3d.py):
+            # PatchDiscriminator + LPIPS + GradNorm branches + LeCam, with
+            # the 2D trainer's optimizer design (muP lr + conv_in group,
+            # cosine schedule; constant-lr AdamW on D)
+            from vqgan_tpu.losses.discriminator import PatchDiscriminator
+            from vqgan_tpu.losses.lpips import LPIPS, load_lpips_params
+            from vqgan_tpu.train.state import create_train_state
+            from vqgan_tpu.train.step3d import make_train_step_3d_gan
+
+            k_d, k_lpips, k_state = jax.random.split(
+                jax.random.fold_in(rng, 77), 3
+            )
+            res = tvae_cfg.resolution
+            self.disc = PatchDiscriminator(dtype=jnp.float32)
+            d_params = self.disc.init(
+                k_d, jnp.zeros((1, res, res, 3))
+            )["params"]
+            self.lpips = LPIPS(dtype=jnp.float32)
+            self.lpips_params = load_lpips_params(
+                cfg.lpips_weights, k_lpips, image_size=res
+            )
+            self.state, g_tx, d_tx = create_train_state(
+                cfg, self.params, d_params, tvae_cfg.ch, k_state
+            )
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.lpips_params = jax.device_put(
+                self.lpips_params, replicated(self.mesh)
+            )
+            self._step = jax.jit(
+                make_train_step_3d_gan(
+                    cfg, tvae_cfg, self.model, self.disc, self.lpips,
+                    g_tx, d_tx,
+                ),
+                donate_argnums=(0,),
+            )
+        else:
+            self.tx = optax.adamw(
+                cfg.learning_rate_vae / tvae_cfg.ch,
+                b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay,
+            )
+            self.opt_state = self.tx.init(self.params)
+            self.rng = jax.random.PRNGKey(cfg.seed + 1)
+            self.params = jax.device_put(self.params, replicated(self.mesh))
+            self._step = jax.jit(
+                make_train_step_3d(cfg, tvae_cfg, self.model, self.tx),
+                donate_argnums=(0, 1),
+            )
         self.batch_shard = batch_sharding(self.mesh, ndim=5)
         self.logger = MetricLogger(
             cfg.run_name, cfg.project_name, use_wandb=cfg.use_wandb,
@@ -152,23 +190,45 @@ class Trainer3D:
             from vqgan_tpu.train.checkpoint import load_weights
 
             loaded = load_weights(cfg.load_path)
-            self.params = jax.tree_util.tree_map(
-                lambda a, b: jnp.asarray(b, a.dtype), self.params, loaded
-            )
+            if self.use_gan:
+                g_params = jax.tree_util.tree_map(
+                    lambda a, b: jnp.asarray(b, a.dtype),
+                    jax.device_get(self.state.g_params), loaded,
+                )
+                self.state = self.state.replace(
+                    g_params=jax.device_put(g_params, replicated(self.mesh))
+                )
+            else:
+                self.params = jax.tree_util.tree_map(
+                    lambda a, b: jnp.asarray(b, a.dtype), self.params, loaded
+                )
         elif self.ckpt.latest_step() is not None:
             restored = self.ckpt.restore(self._host_state())
             if restored is not None:
-                self.params = jax.device_put(
-                    restored["params"], replicated(self.mesh)
-                )
-                self.opt_state = jax.device_put(
-                    restored["opt_state"], replicated(self.mesh)
-                )
-                self.rng = jnp.asarray(restored["rng"])
-                self.start_step = int(restored["step"])
+                if self.use_gan:
+                    self.state = jax.device_put(
+                        restored, replicated(self.mesh)
+                    )
+                    self.start_step = int(self.state.step)
+                else:
+                    self.params = jax.device_put(
+                        restored["params"], replicated(self.mesh)
+                    )
+                    self.opt_state = jax.device_put(
+                        restored["opt_state"], replicated(self.mesh)
+                    )
+                    self.rng = jnp.asarray(restored["rng"])
+                    self.start_step = int(restored["step"])
                 self.logger.info(f"Resumed 3D train state from step {self.start_step}")
 
+    @property
+    def _gparams(self):
+        """Generator params regardless of which step path is active."""
+        return self.state.g_params if self.use_gan else self.params
+
     def _host_state(self):
+        if self.use_gan:
+            return jax.device_get(self.state)
         return jax.device_get(
             {
                 "params": self.params,
@@ -214,7 +274,7 @@ class Trainer3D:
                 ).astype(jnp.float32)
 
             self._eval_step = eval_step
-        recon = np.asarray(self._eval_step(self.params, jnp.asarray(batch)))
+        recon = np.asarray(self._eval_step(self._gparams, jnp.asarray(batch)))
         ra = np.clip(recon * 0.5 + 0.5, 0.0, 1.0)
         ta = np.clip(batch * 0.5 + 0.5, 0.0, 1.0)
         try:
@@ -329,9 +389,14 @@ class Trainer3D:
                 batch = jax.make_array_from_process_local_data(
                     self.batch_shard, np.asarray(next(src))
                 )
-                self.params, self.opt_state, self.rng, metrics = self._step(
-                    self.params, self.opt_state, batch, self.rng
-                )
+                if self.use_gan:
+                    self.state, metrics = self._step(
+                        self.state, batch, self.lpips_params
+                    )
+                else:
+                    self.params, self.opt_state, self.rng, metrics = self._step(
+                        self.params, self.opt_state, batch, self.rng
+                    )
                 if step_i % cfg.log_every == 0:
                     vals = {
                         k: float(v) for k, v in jax.device_get(metrics).items()
@@ -361,4 +426,4 @@ class Trainer3D:
         self.save(cfg.max_steps)
         self.ckpt.wait()
         self.logger.close()
-        return self.params
+        return self._gparams
