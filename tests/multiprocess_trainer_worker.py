@@ -45,8 +45,11 @@ def main():
         eval_batches=1,
         use_wandb=False,
         ckpt_dir=os.environ["MP_CKPT_DIR"],
-        run_name="mp_trainer",
+        run_name=os.environ.get("MP_RUN_NAME", "mp_trainer"),
         log_every=1,
+        # "data=2,fsdp=2" exercises fsdp-sharded params + the eval-time
+        # cross-host param allgather on the 2-process cluster
+        mesh_shape=os.environ.get("MP_MESH", "data=-1"),
     )
     vae_cfg = VAEConfig(
         resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
@@ -55,9 +58,11 @@ def main():
     trainer = Trainer(cfg, vae_cfg)
     trainer.train()
 
-    # replicated params are fully-replicated global arrays: each process can
-    # fetch its local copy and they must agree bit-for-bit
-    leaves = jax.tree_util.tree_leaves(trainer.state.g_params)
+    # host copy works for replicated AND fsdp/tensor-sharded state (the
+    # sharded case allgathers across processes — a collective, so every
+    # rank takes this path together); hashes must agree bit-for-bit
+    host_params = trainer._host_state().g_params
+    leaves = jax.tree_util.tree_leaves(host_params)
     h = float(sum(np.float64(np.sum(np.asarray(l))) for l in leaves))
     print(f"RESULT {pid} {h:.8f}", flush=True)
 

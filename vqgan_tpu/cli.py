@@ -80,6 +80,10 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--remat", type=bool, default=False, help="Activation rematerialization (fit large configs in HBM)")
 @click.option("--use_pallas_gn", type=bool, default=False, help="Use the Pallas fused GroupNorm+swish kernel")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
+@click.option("--gradnorm_mode", type=str, default="global",
+              help="global = Frobenius norm of the global cotangent; "
+                   "mean_shard_norm = reference per-rank norm averaging "
+                   "(vae_trainer.py:40-44) for curve parity at world size N")
 @click.option("--synthetic_data", type=bool, default=False, help="Use the deterministic synthetic data source")
 @click.option("--indexed_data", type=bool, default=False, help="Position-addressed tar dataset: perfect per-epoch shuffle + sample-exact resume (random reads)")
 @click.option("--image_size", type=int, default=512, help="Loaded image resolution (reference MAX_WIDTH)")
@@ -150,6 +154,7 @@ def train(**kw):
         use_wandb=kw["use_wandb"],
         mesh_shape=kw["mesh_shape"],
         full_bf16=kw["full_bf16"],
+        gradnorm_mode=kw["gradnorm_mode"],
         profile_dir=kw["profile_dir"],
     )
     from vqgan_tpu.train.trainer import Trainer

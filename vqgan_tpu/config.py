@@ -161,6 +161,12 @@ class TrainConfig:
     gradnorm_lpips: float = 1.0  # vae_trainer.py:662
     gradnorm_mse: float = 0.001  # vae_trainer.py:679
     gradnorm_gan: float = 1.0  # vae_trainer.py:683
+    # "global": normalize each branch by the global Frobenius norm (√N
+    # smaller than the reference's convention for N data shards; constant
+    # folds into the lr). "mean_shard_norm": mean of per-data-shard norms —
+    # the reference's exact per-rank semantics (vae_trainer.py:40-44),
+    # matching its loss curves chip-count-for-GPU-count (ops/gradnorm.py).
+    gradnorm_mode: str = "global"
     augment_before_perceptual_loss: bool = False
     lpips_weights: Optional[str] = None  # path to converted LPIPS weights
     # video (train3d) GAN/LPIPS stack: number of frames per clip fed to the

@@ -24,10 +24,14 @@ Enable with ``--indexed_data true``.
 from __future__ import annotations
 
 import concurrent.futures
+import logging
 import tarfile
+import threading
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("vqgan_tpu")
 
 from vqgan_tpu.data.tar_stream import _IMG_EXTS, _decode_image
 
@@ -92,6 +96,11 @@ class IndexedTarDataset:
         self.slot_lo = process_index * self.local_batch
         self.do_shuffle = do_shuffle
         self._perm_cache: dict = {}
+        # batch_at's thread pool calls _perm concurrently; an unguarded
+        # check-then-clear lets one thread evict the entry another thread
+        # just validated (KeyError mid-training, likeliest when batches
+        # straddle epoch boundaries on small datasets)
+        self._perm_lock = threading.Lock()
         self._wants_bytes = bool(getattr(transform, "wants_bytes", False))
         # per-position augmentation rng: transform randomness must be a pure
         # function of (seed, position), not of worker-thread draw order —
@@ -102,17 +111,27 @@ class IndexedTarDataset:
         return len(self.index)
 
     def _perm(self, epoch: int) -> np.ndarray:
-        if epoch not in self._perm_cache:
-            if len(self._perm_cache) > 2:  # keep the working set tiny
-                self._perm_cache.clear()
-            if self.do_shuffle:
-                rng = np.random.default_rng((self.seed, epoch))
-                self._perm_cache[epoch] = rng.permutation(len(self.index))
-            else:
-                self._perm_cache[epoch] = np.arange(len(self.index))
-        return self._perm_cache[epoch]
+        with self._perm_lock:
+            p = self._perm_cache.get(epoch)
+            if p is None:
+                if len(self._perm_cache) > 2:  # keep the working set tiny
+                    # evict only OTHER epochs — never an entry a concurrent
+                    # reader may be about to index
+                    for k in [k for k in self._perm_cache if k != epoch]:
+                        del self._perm_cache[k]
+                if self.do_shuffle:
+                    rng = np.random.default_rng((self.seed, epoch))
+                    p = rng.permutation(len(self.index))
+                else:
+                    p = np.arange(len(self.index))
+                self._perm_cache[epoch] = p
+            return p
 
-    def _read_sample(self, global_pos: int) -> np.ndarray:
+    _MAX_SKIPS = 64  # consecutive bad members before the run is declared dead
+
+    def _read_one(self, global_pos: int) -> Optional[np.ndarray]:
+        """One position, no fallback: None for an undecodable image,
+        exceptions propagate to the resilience loop."""
         n = len(self.index)
         epoch, pos = divmod(global_pos, n)
         path, offset, size = self.index[self._perm(epoch)[pos]]
@@ -128,9 +147,38 @@ class IndexedTarDataset:
             return self.transform(data, **kw)
         img = _decode_image(data)
         if img is None:
-            # corrupt member: deterministic fallback to the next index slot
-            return self._read_sample(global_pos + 1)
+            return None
         return self.transform(img, **kw)
+
+    def _read_sample(self, global_pos: int) -> np.ndarray:
+        """Deterministic resilient read: a corrupt member or a failing
+        transform (undecodable bytes, image smaller than the crop, ...)
+        falls through to the NEXT index position — the per-sample
+        resilience the streaming path has (tar_stream), as a bounded loop
+        (a long run of bad members must error, not recurse or spin). The
+        substitution is logged: it duplicates a neighboring slot's sample,
+        which the operator should know about."""
+        for attempt in range(self._MAX_SKIPS):
+            pos = global_pos + attempt
+            try:
+                sample = self._read_one(pos)
+            except Exception as e:  # per-sample resilience, like tar_stream
+                logger.warning(
+                    "indexed read failed at position %d (%s); substituting "
+                    "the next position", pos, e,
+                )
+                sample = None
+            if sample is not None:
+                if attempt:
+                    logger.warning(
+                        "indexed position %d substituted by position %d "
+                        "after %d bad member(s)", global_pos, pos, attempt,
+                    )
+                return sample
+        raise RuntimeError(
+            f"{self._MAX_SKIPS} consecutive unreadable samples starting at "
+            f"global position {global_pos} — dataset looks corrupt"
+        )
 
     def batch_at(self, step: int) -> np.ndarray:
         """Host-local slice of global batch ``step`` — identical across runs."""

@@ -249,7 +249,24 @@ def _main():
             tpipe = TVAEPipeline.from_checkpoint(checkpoint, tcfg)
             for path in clips.split():
                 clip = np.load(path)
-                recon = tpipe.reconstruct(clip.astype(np.uint8))[0]
+                # an astype cast here would silently mangle non-uint8 clips
+                # (floats in [0,1] truncate to all-black, wide ints wrap) —
+                # the exact failure decode_clip's strict check exists to
+                # prevent; validate instead and let the pipeline's
+                # _to_model_input do the one sanctioned uint8→float mapping
+                if clip.dtype != np.uint8:
+                    raise _click.UsageError(
+                        f"{path}: clip dtype {clip.dtype} — --clips expects "
+                        f"uint8 (T, H, W, 3) arrays in [0, 255]; convert "
+                        f"explicitly (e.g. np.round(x * 255).astype(np.uint8) "
+                        f"for floats in [0, 1])"
+                    )
+                if clip.ndim != 4 or clip.shape[-1] != 3:
+                    raise _click.UsageError(
+                        f"{path}: clip shape {clip.shape} — expected "
+                        f"(T, H, W, 3) uint8"
+                    )
+                recon = tpipe.reconstruct(clip)[0]
                 out_path = os.path.join(
                     out_dir,
                     os.path.splitext(os.path.basename(path))[0] + "_recon.npy",

@@ -95,8 +95,17 @@ def make_train_step(
     lpips_model,
     g_tx,
     d_tx,
+    gradnorm_shards: int = 1,
 ) -> Callable:
-    """Returns step(state, batch, lpips_params, do_crop: static bool)."""
+    """Returns step(state, batch, lpips_params, do_crop: static bool).
+
+    ``gradnorm_shards``: data-parallel extent for
+    cfg.gradnorm_mode="mean_shard_norm" (reference per-rank norm averaging,
+    ops/gradnorm.py); 1 = global-norm mode."""
+
+    if cfg.gradnorm_mode not in ("global", "mean_shard_norm"):
+        raise ValueError(f"unknown gradnorm_mode {cfg.gradnorm_mode!r}")
+    gn_shards = gradnorm_shards if cfg.gradnorm_mode == "mean_shard_norm" else 1
 
     enc_res = vae_cfg.resolution
     hr = vae_cfg.decoder_also_perform_hr
@@ -208,7 +217,7 @@ def make_train_step(
         """All generator loss branches over (recon, z, aux_loss); reference
         vae_trainer.py:662-698."""
         metrics = {}
-        recon_lpips = gradnorm(recon, cfg.gradnorm_lpips)
+        recon_lpips = gradnorm(recon, cfg.gradnorm_lpips, None, gn_shards)
         target_aug = target
         if cfg.augment_before_perceptual_loss:  # :664-674
             recon_lpips, target_aug = _rand_flip(
@@ -222,7 +231,7 @@ def make_train_step(
         ).mean()
         metrics["perceptual_loss"] = percep
 
-        recon_mse = gradnorm(recon, cfg.gradnorm_mse)
+        recon_mse = gradnorm(recon, cfg.gradnorm_mse, None, gn_shards)
         vae_loss, vae_metrics = vae_loss_function(
             target,
             recon_mse.astype(jnp.float32),
@@ -235,7 +244,7 @@ def make_train_step(
 
         total = percep + vae_loss + aux_loss
         if cfg.do_ganloss:
-            recon_gan = gradnorm(recon, cfg.gradnorm_gan)
+            recon_gan = gradnorm(recon, cfg.gradnorm_gan, None, gn_shards)
             fake_preds = disc_apply(d_params, recon_gan.astype(jnp.float32))
             g_gan = generator_gan_loss(fake_preds, cfg.disc_type)
             metrics["gan/generator_gan_loss"] = g_gan

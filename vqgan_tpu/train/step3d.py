@@ -68,11 +68,17 @@ def make_train_step_3d_gan(
     lpips_model,
     g_tx,
     d_tx,
+    gradnorm_shards: int = 1,
 ) -> Callable:
     """Returns step(state, batch, lpips_params) -> (state, metrics)."""
 
     kl_weight = cfg.z_reg_weight
     use_gan = cfg.do_ganloss
+    if cfg.gradnorm_mode not in ("global", "mean_shard_norm"):
+        raise ValueError(f"unknown gradnorm_mode {cfg.gradnorm_mode!r}")
+    gn_shards = (
+        gradnorm_shards if cfg.gradnorm_mode == "mean_shard_norm" else 1
+    )
 
     def gen_forward(g_params, batch, rng_sample):
         """clip (B,T,H,W,3) → (recon, reg_loss). Gaussian: reparameterized
@@ -113,7 +119,7 @@ def make_train_step_3d_gan(
         recon_f, target_f = _frame_subset(
             rng_frames, (recon, batch), cfg.video_loss_frames
         )
-        recon_lpips = gradnorm(recon_f, cfg.gradnorm_lpips)
+        recon_lpips = gradnorm(recon_f, cfg.gradnorm_lpips, None, gn_shards)
         percep = lpips_apply(
             lpips_params,
             _flat_frames(recon_lpips.astype(jnp.float32)),
@@ -121,14 +127,14 @@ def make_train_step_3d_gan(
         ).mean()
         metrics["perceptual_loss"] = percep
 
-        recon_mse = gradnorm(recon, cfg.gradnorm_mse)
+        recon_mse = gradnorm(recon, cfg.gradnorm_mse, None, gn_shards)
         rec = jnp.mean(jnp.square(recon_mse.astype(jnp.float32) - batch))
         metrics["recon_l2"] = rec
         metrics["kl"] = reg_loss
 
         total = percep + rec + kl_weight * reg_loss
         if use_gan:
-            recon_gan = gradnorm(recon_f, cfg.gradnorm_gan)
+            recon_gan = gradnorm(recon_f, cfg.gradnorm_gan, None, gn_shards)
             fake_preds = disc_apply(
                 d_params, _flat_frames(recon_gan.astype(jnp.float32))
             )

@@ -134,8 +134,12 @@ class Trainer:
         self.state = jax.device_put(self.state, self.state_shard)
         self.lpips_params = jax.device_put(self.lpips_params, self.repl)
 
+        n_data = 1
+        for ax in ("data", "fsdp"):
+            n_data *= self.mesh.shape.get(ax, 1)
         raw_step = make_train_step(
-            cfg, vae_cfg, self.vae, self.disc, self.lpips, self.g_tx, self.d_tx
+            cfg, vae_cfg, self.vae, self.disc, self.lpips, self.g_tx,
+            self.d_tx, gradnorm_shards=n_data,
         )
         self._step = jax.jit(raw_step, static_argnums=(3,), donate_argnums=(0,))
         self._eval_step = make_eval_step(cfg, vae_cfg, self.vae)
@@ -384,6 +388,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, step: int, epoch: int, test_loader) -> None:
+        # rank-0-only eval (reference vae_trainer.py:805-809) would touch
+        # non-addressable shards when params are fsdp/tensor-sharded on a
+        # multi-host mesh: gather full host-local copies first. The
+        # allgather is collective — EVERY rank must reach it before the
+        # master gate, or the others deadlock here.
+        g_params, vq_ema = self.state.g_params, self.state.vq_ema
+        if jax.process_count() > 1 and self._model_sharded:
+            from jax.experimental import multihost_utils
+
+            g_params = multihost_utils.process_allgather(g_params, tiled=True)
+            if vq_ema is not None:
+                vq_ema = multihost_utils.process_allgather(vq_ema, tiled=True)
         if not self.is_master:
             return
         # fixed eval set: the reference restarts its test dataloader every
@@ -396,7 +412,7 @@ class Trainer:
             ]
         recons, targets = [], []
         for batch in self._eval_batches:
-            r, t = self._eval_step(self.state.g_params, self.state.vq_ema, batch)
+            r, t = self._eval_step(g_params, vq_ema, batch)
             recons.append(np.asarray(r))
             targets.append(np.asarray(t))
         recon = np.concatenate(recons)

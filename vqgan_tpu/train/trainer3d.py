@@ -157,7 +157,7 @@ class Trainer3D:
             self._step = jax.jit(
                 make_train_step_3d_gan(
                     cfg, tvae_cfg, self.model, self.disc, self.lpips,
-                    g_tx, d_tx,
+                    g_tx, d_tx, gradnorm_shards=n_data,
                 ),
                 donate_argnums=(0,),
             )
@@ -250,16 +250,29 @@ class Trainer3D:
         has no 3D analogue; tae.py is never trained in the reference)."""
         if jax.process_index() != 0:
             return
-        if jax.process_count() > 1 and self.mesh.shape.get("context", 1) > 1:
-            # the ring-attention forward carries shard_map collectives over
-            # the context axis; running it on rank 0 alone would deadlock a
-            # multi-host mesh — skip (metrics-only limitation, training and
-            # checkpointing are unaffected)
-            self.logger.info(
-                "3d eval skipped: context-parallel mesh spans multiple "
-                "hosts (rank-0-only eval would hang on the ring collectives)"
+        params = self._gparams
+        if jax.process_count() > 1:
+            if self.mesh.shape.get("context", 1) > 1:
+                # the ring-attention forward carries shard_map collectives
+                # over the context axis; running it on rank 0 alone would
+                # deadlock a multi-host mesh — skip (metrics-only
+                # limitation, training and checkpointing are unaffected)
+                self.logger.info(
+                    "3d eval skipped: context-parallel mesh spans multiple "
+                    "hosts (rank-0-only eval would hang on the ring "
+                    "collectives)"
+                )
+                return
+            # plain multi-host: even replicated params are not *fully*
+            # addressable from one rank, so a rank-0 jit over the global
+            # arrays raises. Params are replicated here (3D trainer never
+            # shards them), so each rank's first addressable shard IS the
+            # full value — evaluate on a host-local copy instead.
+            params = jax.tree_util.tree_map(
+                lambda a: np.asarray(a.addressable_data(0))
+                if hasattr(a, "addressable_data") else np.asarray(a),
+                params,
             )
-            return
         if not hasattr(self, "_eval_step"):
             model = self.model
 
@@ -274,7 +287,7 @@ class Trainer3D:
                 ).astype(jnp.float32)
 
             self._eval_step = eval_step
-        recon = np.asarray(self._eval_step(self._gparams, jnp.asarray(batch)))
+        recon = np.asarray(self._eval_step(params, jnp.asarray(batch)))
         ra = np.clip(recon * 0.5 + 0.5, 0.0, 1.0)
         ta = np.clip(batch * 0.5 + 0.5, 0.0, 1.0)
         try:
