@@ -186,3 +186,76 @@ def test_ssim_matches_skimage_if_available():
         sigma=1.5, use_sample_covariance=False,
     )
     np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_fetch_lpips_npz_end_to_end(tmp_path, monkeypatch):
+    """tools/fetch_lpips.py's conversion path with a locally generated
+    vgg.pth (random weights, reference layout): produces .npz files that
+    load through load_lpips_params and load_disc_backbone and change the
+    respective param trees — the exact drop-in path for real pretrained
+    weights once a machine with egress runs the tool."""
+    import sys
+
+    import jax
+    import torch
+
+    from tests.reference_compat import (
+        import_reference_module,
+        install_random_vgg16,
+    )
+
+    install_random_vgg16(seed=5)
+    monkeypatch.chdir(tmp_path)
+    torch.save({}, "vgg.pth")  # reference LPIPS() torch.load()s one (strict=False)
+    ref_utils = import_reference_module("utils")
+    # reference-layout vgg.pth: the LPIPS module's own state dict (net.slice*
+    # + lin heads), exactly what the heibox file contains
+    lp = ref_utils.LPIPS()
+    torch.save(lp.state_dict(), tmp_path / "vgg.pth")
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import fetch_lpips
+    finally:
+        sys.path.pop(0)
+
+    out = fetch_lpips.fetch_lpips(str(tmp_path))  # vgg.pth exists -> no egress
+    from vqgan_tpu.losses.lpips import load_lpips_params
+
+    loaded = load_lpips_params(out, jax.random.PRNGKey(0), image_size=32)
+    fresh = load_lpips_params(None, jax.random.PRNGKey(0), image_size=32)
+    l0 = jax.tree_util.tree_leaves(loaded)
+    f0 = jax.tree_util.tree_leaves(fresh)
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(l0, f0)
+    ), "converted weights did not replace the fresh init"
+
+    # discriminator backbone: reference-layout torchvision features weights
+    from vqgan_tpu.losses.discriminator import load_disc_backbone
+    from vqgan_tpu.losses.vgg import convert_torch_vgg16
+
+    tv_features = {
+        k[len("net."):]: v for k, v in lp.state_dict().items()
+        if k.startswith("net.")
+    }
+    params = {"vgg": convert_torch_vgg16(tv_features)}
+    dst = str(tmp_path / "vgg16_features.npz")
+    fetch_lpips._flat_npz(params, dst)
+    disc = PatchDiscriminator()
+    d0 = disc.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))["params"]
+    d1 = load_disc_backbone(d0, dst)
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(d0["vgg"]),
+            jax.tree_util.tree_leaves(d1["vgg"]),
+        )
+    )
+    # heads keep their fresh init (reference: heads are newly built)
+    for head in ("bc1", "bc2", "bc3", "bc4", "bc5"):
+        if head in d0:
+            for a, b in zip(
+                jax.tree_util.tree_leaves(d0[head]),
+                jax.tree_util.tree_leaves(d1[head]),
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

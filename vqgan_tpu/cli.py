@@ -85,12 +85,15 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
                    "mean_shard_norm = reference per-rank norm averaging "
                    "(vae_trainer.py:40-44) for curve parity at world size N")
 @click.option("--synthetic_data", type=bool, default=False, help="Use the deterministic synthetic data source")
-@click.option("--indexed_data", type=bool, default=False, help="Position-addressed tar dataset: perfect per-epoch shuffle + sample-exact resume (random reads)")
+@click.option("--indexed_data", type=bool, default=True, help="Position-addressed tar dataset (default): perfect per-epoch shuffle + sample-exact resume; false = streaming reader (sequential reads, reseed-based resume)")
 @click.option("--image_size", type=int, default=512, help="Loaded image resolution (reference MAX_WIDTH)")
 @click.option("--num_workers", type=int, default=4, help="Decode workers per host")
 @click.option("--device_normalize", type=bool, default=True, help="Ship uint8 batches; normalize on device (4x less H2D)")
 @click.option("--use_wandb", type=bool, default=True, help="Log to wandb when available (JSONL fallback otherwise)")
 @click.option("--lpips_weights", type=str, default=None, help="Path to converted LPIPS weights (.pth or .npz)")
+@click.option("--disc_backbone_weights", type=str, default=None,
+              help="Pretrained VGG16 backbone for the discriminator "
+                   "(tools/fetch_lpips.py vgg16_features.npz or a .pth)")
 @click.option("--ckpt_dir", type=str, default="./ckpt", help="Checkpoint root directory")
 @click.option("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of steps 10-15 here")
 @click.option("--seed", type=int, default=42, help="Seed (reference seeds everything to 42)")
@@ -137,6 +140,7 @@ def train(**kw):
         do_pool_recon=kw["do_pool_recon"],
         augment_before_perceptual_loss=kw["augment_before_perceptual_loss"],
         lpips_weights=kw["lpips_weights"],
+        disc_backbone_weights=kw["disc_backbone_weights"],
         do_clamp=kw["do_clamp"],
         clamp_th=kw["clamp_th"],
         flip_invariance=kw["flip_invariance"],

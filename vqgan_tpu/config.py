@@ -131,8 +131,11 @@ class TrainConfig:
     num_workers: int = 4
     synthetic_data: bool = False  # deterministic on-host generated batches
     # indexed data mode (data/indexed.py): per-epoch perfect shuffle and
-    # sample-exact resume — batch at step S is the same on every run/restart
-    indexed_data: bool = False
+    # sample-exact resume — batch at step S is the same on every run/restart.
+    # DEFAULT for training runs (round 3): every supported source is a local
+    # tar file, where position-addressed reads are safe; streaming mode
+    # (False) remains for sequential-only media, with reseed-based resume.
+    indexed_data: bool = True
     # ship uint8 batches to device and normalize there (4x less H2D traffic;
     # bit-identical to host normalization — trace-time dtype branch)
     device_normalize: bool = True
@@ -169,6 +172,10 @@ class TrainConfig:
     gradnorm_mode: str = "global"
     augment_before_perceptual_loss: bool = False
     lpips_weights: Optional[str] = None  # path to converted LPIPS weights
+    # pretrained VGG16 backbone for the PatchDiscriminator (reference
+    # utils.py:147-156 starts from torchvision pretrained weights);
+    # tools/fetch_lpips.py produces the file where egress exists
+    disc_backbone_weights: Optional[str] = None
     # video (train3d) GAN/LPIPS stack: number of frames per clip fed to the
     # per-frame perceptual + discriminator branches (strided subset with a
     # traced random phase, train/step3d.py). 0 = every frame. The L2 branch

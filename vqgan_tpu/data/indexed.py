@@ -18,7 +18,9 @@ production mode:
 
 Trade-off vs streaming: random reads within shards (fine on local disk or
 page-cached media; keep the streaming default for sequential-only sources).
-Enable with ``--indexed_data true``.
+The DEFAULT for training runs since round 3 (every supported source is a
+local tar); ``--indexed_data false`` selects the streaming reader for
+sequential-only media.
 """
 
 from __future__ import annotations

@@ -136,3 +136,36 @@ def convert_torch_patch_discriminator(state_dict: dict) -> dict:
             "bias": to_np(b),
         }
     return params
+
+
+def load_disc_backbone(params: dict, path: str) -> dict:
+    """Start the PatchDiscriminator from a pretrained VGG16 backbone — the
+    reference initializes its discriminator from pretrained torchvision
+    VGG16 features (utils.py:147-156). ``path``: the
+    ``vgg16_features.npz`` written by tools/fetch_lpips.py (flat "a/b/c"
+    keys with a top-level "vgg" subtree), or a torch ``.pth`` of
+    torchvision vgg16 ``features``. The five classifier heads keep their
+    fresh (zero-final) init, as in the reference."""
+    import numpy as np
+
+    from vqgan_tpu.losses.lpips import _merge
+
+    if path.endswith(".npz"):
+        loaded = dict(np.load(path, allow_pickle=True))
+        nested: dict = {}
+        for key, arr in loaded.items():
+            node = nested
+            *mods, leaf = key.split("/")
+            for m in mods:
+                node = node.setdefault(m, {})
+            node[leaf] = arr
+        vgg = nested.get("vgg", nested)
+    else:
+        import torch
+
+        from vqgan_tpu.losses.vgg import convert_torch_vgg16
+
+        vgg = convert_torch_vgg16(
+            torch.load(path, map_location="cpu", weights_only=True)
+        )
+    return {**params, "vgg": _merge(params["vgg"], vgg)}

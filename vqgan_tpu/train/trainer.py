@@ -106,6 +106,12 @@ class Trainer:
             d_params = self.disc.init(
                 k_d, jnp.zeros((1, tgt_res, tgt_res, 3))
             )["params"]
+            if cfg.disc_backbone_weights:
+                from vqgan_tpu.losses.discriminator import load_disc_backbone
+
+                d_params = load_disc_backbone(
+                    d_params, cfg.disc_backbone_weights
+                )
 
         self.lpips = LPIPS(dtype=loss_dtype)
         self.lpips_params = load_lpips_params(
