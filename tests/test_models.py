@@ -234,3 +234,28 @@ def test_tvae_attn_chunk_rejects_non_divisor():
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
             x,
         )
+
+
+def test_tvae_fused_swish_off_matches_on():
+    """fused_gn_swish is a pure perf knob: the unfused norm->silu path
+    produces the same forward (same params, fp32) as the fused one."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.models.tae import TVAE
+
+    cfg = TVAEConfig(resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                     z_channels=4, compute_dtype="float32")
+    m_on = TVAE(cfg=cfg)
+    m_off = TVAE(cfg=dataclasses.replace(cfg, fused_gn_swish=False))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}
+    params = m_on.init(rngs, x)["params"]
+    z_on = m_on.apply({"params": params}, x, method=m_on.encode)
+    z_off = m_off.apply({"params": params}, x, method=m_off.encode)
+    np.testing.assert_allclose(
+        np.asarray(z_on), np.asarray(z_off), rtol=1e-5, atol=1e-5
+    )

@@ -30,10 +30,13 @@ def main():
     @click.option("--dtype", type=str, default="bfloat16")
     @click.option("--remat", type=bool, default=False)
     @click.option("--attn_chunk", type=int, default=0)
+    @click.option("--attn_impl", type=str, default="auto",
+                  help="auto | pallas | lax (ops/flash_attention.py)")
+    @click.option("--fused_gn_swish", type=bool, default=False)
     @click.option("--profile_dir", type=str, default=None,
                   help="capture a jax.profiler trace of the measured steps")
     def run(batch, frames, res, ch, ch_mult, steps, dtype, remat, attn_chunk,
-            profile_dir):
+            attn_impl, fused_gn_swish, profile_dir):
         import jax
         import numpy as np
 
@@ -43,7 +46,8 @@ def main():
         tvae_cfg = TVAEConfig(
             resolution=res, ch=ch, ch_mult=parse_ch_mult(ch_mult),
             num_res_blocks=1, z_channels=8, compute_dtype=dtype, remat=remat,
-            attn_chunk=attn_chunk,
+            attn_chunk=attn_chunk, attn_impl=attn_impl,
+            fused_gn_swish=fused_gn_swish,
         )
         cfg = TrainConfig(
             batch_size=batch, max_steps=steps, run_name="bench_tvae",

@@ -187,6 +187,12 @@ def train(**kw):
               help="Exact chunked mid-block attention over this many k/v "
                    "tokens (0 = dense) — single-chip long clips whose "
                    "dense score matrix exceeds HBM")
+@click.option("--attn_impl", type=str, default="auto",
+              help="Chunked-attention impl: auto (Pallas flash kernel on "
+                   "TPU, lax scan elsewhere) | pallas | lax")
+@click.option("--fused_gn_swish", type=bool, default=False,
+              help="Fold norm->silu into the GroupNorm sweep (perf knob; "
+                   "numerics unchanged)")
 @click.option("--learning_rate_vae", type=float, default=1e-2)
 @click.option("--do_ganloss", type=bool, default=False,
               help="Full per-frame GAN/LPIPS stack (PatchDiscriminator + "
@@ -228,6 +234,8 @@ def train3d(**kw):
         vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
         remat=kw["remat"],
         attn_chunk=kw["attn_chunk"],
+        attn_impl=kw["attn_impl"],
+        fused_gn_swish=kw["fused_gn_swish"],
     )
     cfg = TrainConfig(
         batch_size=kw["batch_size"],

@@ -115,6 +115,13 @@ class TVAEConfig:
     # scan elsewhere; "pallas"/"lax" force one. jax.export artifacts always
     # use lax (a baked Pallas call would be TPU-only StableHLO).
     attn_impl: str = "auto"
+    # fold the norm->silu chains into the GroupNorm op's elementwise sweep
+    # (ops/normalization.py with_swish), as the 2D family does. MEASURED
+    # (BASELINE.md round 3): neutral at the 48f/256px long-clip config and
+    # ~2.6% SLOWER at 16f/128px (XLA already fuses the unfused silu into
+    # neighboring ops; the custom-VJP boundary just constrains its fusion
+    # choices) — default off for 3D, available as a knob.
+    fused_gn_swish: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

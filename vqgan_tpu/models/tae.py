@@ -94,13 +94,19 @@ class GroupNorm3D(nn.Module):
 class ResnetBlock3D(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
+    fused_swish: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c_in = x.shape[-1]
-        h = GroupNorm3D(name="norm1", fused_swish=True)(x)
+        fs = self.fused_swish
+        h = GroupNorm3D(name="norm1", fused_swish=fs)(x)
+        if not fs:
+            h = jax.nn.silu(h)
         h = conv3d(self.out_channels, 3, self.dtype, c_in * 27, name="conv1")(h)
-        h = GroupNorm3D(name="norm2", fused_swish=True)(h)
+        h = GroupNorm3D(name="norm2", fused_swish=fs)(h)
+        if not fs:
+            h = jax.nn.silu(h)
         h = conv3d(
             self.out_channels, 3, self.dtype, self.out_channels * 27, name="conv2"
         )(h)
@@ -256,12 +262,14 @@ class DownLevel3D(nn.Module):
     has_downsample: bool
     dtype: Dtype
     remat: bool = False
+    fused_swish: bool = True
 
     @nn.compact
     def __call__(self, h):
         Block = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks):
-            h = Block(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+            h = Block(self.block_out, dtype=self.dtype,
+                      fused_swish=self.fused_swish, name=f"block_{i}")(h)
         if self.has_downsample:
             h = Downsample3D(dtype=self.dtype, name="downsample")(h)
         return h
@@ -273,12 +281,14 @@ class UpLevel3D(nn.Module):
     has_upsample: bool
     dtype: Dtype
     remat: bool = False
+    fused_swish: bool = True
 
     @nn.compact
     def __call__(self, h):
         Block = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks + 1):
-            h = Block(self.block_out, dtype=self.dtype, name=f"block_{i}")(h)
+            h = Block(self.block_out, dtype=self.dtype,
+                      fused_swish=self.fused_swish, name=f"block_{i}")(h)
         if self.has_upsample:
             h = Upsample3D(dtype=self.dtype, name="upsample")(h)
         return h
@@ -298,6 +308,7 @@ class Encoder3D(nn.Module):
     remat: bool = False
     attn_chunk: int = 0
     attn_impl: str = "auto"
+    fused_swish: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -311,19 +322,25 @@ class Encoder3D(nn.Module):
                 has_downsample=i != n - 1,
                 dtype=self.dtype,
                 remat=self.remat,
+                fused_swish=self.fused_swish,
                 name=f"down_{i}",
             )(h)
         block_in = self.ch * self.ch_mult[-1]
         # mid blocks remat too (2D-family parity, ae.py:137-143) — they are
         # the widest-channel activations at the attention resolution
         Mid = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
-        h = Mid(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        fs = self.fused_swish
+        h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
                         attn_chunk=self.attn_chunk,
                         attn_impl=self.attn_impl, name="mid_attn_1")(h)
-        h = Mid(block_in, dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm3D(name="norm_out", fused_swish=True)(h)
+        h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                name="mid_block_2")(h)
+        h = GroupNorm3D(name="norm_out", fused_swish=fs)(h)
+        if not fs:
+            h = jax.nn.silu(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
         h = conv3d(out_ch, 3, self.dtype, block_in * 27, name="conv_out")(h)
         return h
@@ -342,20 +359,24 @@ class Decoder3D(nn.Module):
     remat: bool = False
     attn_chunk: int = 0
     attn_impl: str = "auto"
+    fused_swish: bool = True
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
         Level = nn.remat(UpLevel3D) if self.remat else UpLevel3D
         Mid = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
+        fs = self.fused_swish
         block_in = self.ch * self.ch_mult[-1]
         h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
-        h = Mid(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
                         attn_chunk=self.attn_chunk,
                         attn_impl=self.attn_impl, name="mid_attn_1")(h)
-        h = Mid(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                name="mid_block_2")(h)
         for i in reversed(range(n)):
             h = Level(
                 block_out=self.ch * self.ch_mult[i],
@@ -363,9 +384,12 @@ class Decoder3D(nn.Module):
                 has_upsample=i != 0,
                 dtype=self.dtype,
                 remat=self.remat,
+                fused_swish=self.fused_swish,
                 name=f"up_{i}",
             )(h)
-        h = GroupNorm3D(name="norm_out", fused_swish=True)(h)
+        h = GroupNorm3D(name="norm_out", fused_swish=fs)(h)
+        if not fs:
+            h = jax.nn.silu(h)
         h = conv3d(self.out_ch, 3, self.dtype, h.shape[-1] * 27, name="conv_out")(h)
         return h
 
@@ -400,6 +424,7 @@ class TVAE(nn.Module):
             remat=self.cfg.remat,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
+            fused_swish=self.cfg.fused_gn_swish,
         )
         self.decoder = Decoder3D(
             ch=self.cfg.ch,
@@ -412,6 +437,7 @@ class TVAE(nn.Module):
             remat=self.cfg.remat,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
+            fused_swish=self.cfg.fused_gn_swish,
         )
         if self.cfg.reg_type == "gaussian":
             self.reg = DiagonalGaussian()
