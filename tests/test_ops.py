@@ -229,9 +229,11 @@ def test_memory_efficient_attention_dispatch():
     bs = fa._block_sizes(49152)
     assert 49152 % bs.block_q == 0 and 49152 % bs.block_k_major == 0
     assert bs.has_backward_blocks
-    # 8320 = 65*128: divisible by 128 but not by 256 — picks 128 tiles
+    # 8320 = 65*128: not a power-of-two multiple — the picked tiles must
+    # still divide it (largest 128-multiple divisor ≤ the cap)
     bs_small = fa._block_sizes(8320)
-    assert bs_small.block_q == 128
+    assert bs_small.block_q % 128 == 0 and 8320 % bs_small.block_q == 0
+    assert 8320 % bs_small.block_k_major == 0
     assert not fa.supports_flash(48)  # not a 128 multiple
 
     b, n, h, d = 1, 64, 2, 16

@@ -30,12 +30,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Kernel tile caps. q/k tiles of 512 give (512, 512) fp32 score tiles (1 MB
-# VMEM) and amortize the head_dim-32 MXU underfill over long contractions in
-# the p@v / ds@k matmuls; caps are lowered to the largest 128-multiple
-# divisor of the actual token count.
-_BLOCK_Q_CAP = 512
-_BLOCK_K_CAP = 512
+# Kernel tile caps, swept on a v5e at the long-clip geometry (N=49152, 8
+# heads, head_dim 32; tools/bench_flash_attention.py --sweep, BASELINE.md):
+# 1024-tiles win the backward (307.8 ms fwd+bwd vs 321.5 at 512 and 1814 at
+# the kernel-default 128) — larger k tiles amortize the head_dim-32 MXU
+# underfill over longer contractions in the p@v / ds@k matmuls. Score tiles
+# are (1024, 1024) fp32 = 4 MB VMEM, fine for the TVAE's head_dim ≤ 64.
+# Caps are lowered to the largest 128-multiple divisor of the token count.
+_BLOCK_Q_CAP = 1024
+_BLOCK_K_CAP = 1024
 _BLOCK_K_MAJOR_CAP = 1024
 
 
