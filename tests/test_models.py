@@ -259,3 +259,31 @@ def test_tvae_fused_swish_off_matches_on():
     np.testing.assert_allclose(
         np.asarray(z_on), np.asarray(z_off), rtol=1e-5, atol=1e-5
     )
+
+
+def test_vae2d_attn_chunk_matches_dense():
+    """2D AttnBlock with attn_chunk: memory-efficient attention matches the
+    dense path bit-close (same params) — the 2D counterpart of the TVAE's
+    long-clip path, for very-high-resolution use_attn configs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.config import VAEConfig
+    from vqgan_tpu.models.ae import VAE
+
+    cfg = VAEConfig(resolution=64, ch=64, ch_mult=(1, 2), num_res_blocks=1,
+                    z_channels=8, use_attn=True, enc_dtype="float32",
+                    dec_dtype="float32")
+    m_dense = VAE(cfg=cfg)
+    # mid tokens = (64/2)^2 = 1024; chunk 256 exercises the chunked path
+    m_chunk = VAE(cfg=dataclasses.replace(cfg, attn_chunk=256))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}
+    params = m_dense.init(rngs, x)["params"]
+    z_d = m_dense.apply({"params": params}, x, method=m_dense.encode)
+    z_c = m_chunk.apply({"params": params}, x, method=m_chunk.encode)
+    np.testing.assert_allclose(
+        np.asarray(z_c), np.asarray(z_d), rtol=2e-5, atol=2e-5
+    )

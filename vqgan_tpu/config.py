@@ -64,6 +64,13 @@ class VAEConfig:
     remat: bool = False
     # use the Pallas fused GroupNorm+swish kernel (ops/pallas/groupnorm.py)
     use_pallas_gn: bool = False
+    # memory-efficient mid-block attention when H·W tokens exceed this
+    # (Pallas flash kernel on TPU / exact lax chunk scan elsewhere,
+    # ops/flash_attention.py) — for very-high-resolution use_attn configs
+    # whose dense (H·W)² score matrix is the memory wall; 0 = dense (the
+    # reference's behavior; token counts at ≤512px are tiny)
+    attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @property
     def ffactor(self) -> int:

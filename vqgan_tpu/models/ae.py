@@ -99,6 +99,8 @@ class Encoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     pallas_gn: bool = False
+    attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -138,7 +140,8 @@ class Encoder(nn.Module):
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_1")(h)
         if self.use_attn:
-            h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+            h = AttnBlock(dtype=self.dtype, attn_chunk=self.attn_chunk,
+                          attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_2")(h)
         h = FP32GroupNorm(
@@ -160,6 +163,8 @@ class Decoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     pallas_gn: bool = False
+    attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -170,7 +175,8 @@ class Decoder(nn.Module):
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_1")(h)
         if self.use_attn:
-            h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
+            h = AttnBlock(dtype=self.dtype, attn_chunk=self.attn_chunk,
+                          attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_2")(h)
         Level = nn.remat(UpLevel) if self.remat else UpLevel
@@ -241,6 +247,8 @@ class VAE(nn.Module):
             dtype=enc_dtype,
             remat=self.cfg.remat,
             pallas_gn=self.cfg.use_pallas_gn,
+            attn_chunk=self.cfg.attn_chunk,
+            attn_impl=self.cfg.attn_impl,
         )
         self.decoder = Decoder(
             ch=self.cfg.ch,
@@ -251,6 +259,8 @@ class VAE(nn.Module):
             dtype=dec_dtype,
             remat=self.cfg.remat,
             pallas_gn=self.cfg.use_pallas_gn,
+            attn_chunk=self.cfg.attn_chunk,
+            attn_impl=self.cfg.attn_impl,
         )
         if self.cfg.reg_type == "identity_gaussian":
             self.reg = IdentityGaussian()

@@ -135,10 +135,19 @@ class ResnetBlock(nn.Module):
 class AttnBlock(nn.Module):
     """Single-layer self-attention over flattened spatial tokens
     (reference ae.py:56-93): head_dim=64, qkv/proj as bias-free 1×1 convs,
-    proj_out init std=0.2/sqrt(c), residual add."""
+    proj_out init std=0.2/sqrt(c), residual add.
+
+    ``attn_chunk`` > 0: run memory-efficient attention (Pallas flash kernel
+    on TPU, exact chunked lax scan elsewhere — ops/flash_attention.py) when
+    the token count exceeds it, instead of dense SDPA whose (h·w)² score
+    matrix is the memory wall at very high resolutions — the 2D counterpart
+    of the TVAE's long-clip path (models/tae.py). 0 = always dense (the
+    reference's behavior; mid-block token counts at ≤512px are tiny)."""
 
     dtype: Dtype = jnp.float32
     head_dim: int = 64
+    attn_chunk: int = 0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -159,7 +168,24 @@ class AttnBlock(nn.Module):
         def heads(t):
             return t.reshape(b, h * w, num_heads, self.head_dim)
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        n_tok = h * w
+        if self.attn_chunk and n_tok > self.attn_chunk:
+            if n_tok % self.attn_chunk:
+                raise ValueError(
+                    f"attn_chunk {self.attn_chunk} must divide the "
+                    f"mid-block token count {n_tok} (= H·W after "
+                    f"downsampling); pick a divisor of {n_tok}"
+                )
+            from vqgan_tpu.ops.flash_attention import (
+                memory_efficient_attention,
+            )
+
+            out = memory_efficient_attention(
+                heads(q), heads(k), heads(v), self.attn_chunk,
+                impl=self.attn_impl,
+            )
+        else:
+            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
         out = out.reshape(b, h, w, c)
         out = nn.Conv(
             c,
