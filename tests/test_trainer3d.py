@@ -182,6 +182,16 @@ def test_trainer3d_gan_stack(tmp_path):
     assert moved(d0, d1), "discriminator did not update"
     assert moved(g0, g1), "generator did not update"
     assert int(trainer.state.step) == 3
+    # the GAN-path eval computes per-frame eval/lpips with the training
+    # LPIPS net (2D metric parity)
+    import json as _json
+
+    trainer._eval(3, np.asarray(next(synthetic_video_batches(8, 4, 16))))
+    log = tmp_path / "t3dgan" / "metrics_t3dgan.jsonl"
+    keys = set()
+    for line in open(log):
+        keys |= set(_json.loads(line))
+    assert "eval/lpips" in keys and "eval/psnr" in keys, keys
 
 
 def test_trainer3d_gan_checkpoint_resume(tmp_path):

@@ -296,14 +296,30 @@ class Trainer3D:
             b, t, h, w, c = ra.shape
             flat_r = jnp.asarray(ra.reshape(b * t, h, w, c))
             flat_t = jnp.asarray(ta.reshape(b * t, h, w, c))
-            self.logger.log(
-                {
-                    "eval/recon_l2": float(np.mean((ra - ta) ** 2)),
-                    "eval/psnr": float(psnr(flat_r, flat_t)),
-                    "eval/ssim": float(ssim(flat_r, flat_t)),
-                },
-                step_i,
-            )
+            vals = {
+                "eval/recon_l2": float(np.mean((ra - ta) ** 2)),
+                "eval/psnr": float(psnr(flat_r, flat_t)),
+                "eval/ssim": float(ssim(flat_r, flat_t)),
+            }
+            if self.use_gan:
+                # per-frame perceptual distance with the training LPIPS —
+                # the 2D eval's quality metric applied to clip frames
+                if not hasattr(self, "_eval_lpips"):
+                    lp = self.lpips
+
+                    @jax.jit
+                    def _elp(params, a, b_):
+                        return lp.apply({"params": params}, a, b_).mean()
+
+                    self._eval_lpips = _elp
+                vals["eval/lpips"] = float(
+                    self._eval_lpips(
+                        self.lpips_params,
+                        flat_r * 2.0 - 1.0,
+                        flat_t * 2.0 - 1.0,
+                    )
+                )
+            self.logger.log(vals, step_i)
         except Exception as e:  # metrics must never kill training
             self.logger.info(f"3d eval metrics failed: {e}")
         # frame strip: first clip, up to 4 frames; originals over recons
