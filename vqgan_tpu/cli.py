@@ -79,6 +79,11 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--mesh_shape", type=str, default="data=-1", help="Device mesh, e.g. data=4,fsdp=2,tensor=1")
 @click.option("--remat", type=bool, default=False, help="Activation rematerialization (fit large configs in HBM)")
 @click.option("--use_pallas_gn", type=bool, default=False, help="Use the Pallas fused GroupNorm+swish kernel")
+@click.option("--attn_chunk", type=int, default=0,
+              help="Memory-efficient mid-block attention once H*W tokens "
+                   "exceed this (0 = dense; for very-high-res --do_attn)")
+@click.option("--attn_impl", type=str, default="auto",
+              help="auto (Pallas flash on TPU, lax elsewhere) | pallas | lax")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
 @click.option("--gradnorm_mode", type=str, default="global",
               help="global = Frobenius norm of the global cotangent; "
@@ -118,6 +123,8 @@ def train(**kw):
         vq_revive_threshold=kw["vq_revive_threshold"],
         remat=kw["remat"],
         use_pallas_gn=kw["use_pallas_gn"],
+        attn_chunk=kw["attn_chunk"],
+        attn_impl=kw["attn_impl"],
     )
     cfg = TrainConfig(
         dataset_url=kw["dataset_url"],
