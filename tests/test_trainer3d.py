@@ -219,3 +219,33 @@ def test_trainer3d_gan_checkpoint_resume(tmp_path):
         jax.tree_util.tree_leaves(jax.device_get(t2.state.g_params)),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer3d_gan_vq(tmp_path):
+    """The video GAN stack composes with the VQ regularizer (loss-based,
+    ema decay 0 as the train3d CLI wires it): two steps run, codebook loss
+    is finite and reported."""
+    import dataclasses
+
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", reg_type="vq", vq_codebook_size=32,
+        vq_ema_decay=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_steps=2, run_name="t3dganvq", use_wandb=False,
+        ckpt_dir=str(tmp_path), log_every=100, do_ganloss=True,
+        evaluate_every_n_steps=0, eval_batches=0, synthetic_data=True,
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=4)
+    src = synthetic_video_batches(8, 4, 16, seed=1)
+    for _ in range(2):
+        batch = jax.device_put(next(src), trainer.batch_shard)
+        trainer.state, metrics = trainer._step(
+            trainer.state, batch, trainer.lpips_params
+        )
+    vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert np.isfinite(vals["kl"])  # the VQ codebook+commitment loss slot
+    assert np.isfinite(vals["overall_vae_loss"])
