@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vqgan_tpu.ops.pallas.vq import code_stats, nearest_codes
+
 
 class VectorQuantizer(nn.Module):
     codebook_size: int = 16384
@@ -30,6 +32,11 @@ class VectorQuantizer(nn.Module):
     beta: float = 0.25
     ema_decay: float = 0.99  # 0 disables EMA updates (loss-only codebook)
     ema_eps: float = 1e-5
+    # codebook-search implementation: "auto" routes to the fused Pallas
+    # kernel (ops/pallas/vq.py) on a TPU backend when K is 128-tileable —
+    # it never materializes the (N, K) distance/one-hot matrices the XLA
+    # formulation round-trips through HBM; "xla"/"pallas" force a path.
+    impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -52,12 +59,10 @@ class VectorQuantizer(nn.Module):
         )
         zf = z.astype(jnp.float32)
         flat = zf.reshape(-1, d)  # (N, D)
-        # distances via matmul (MXU): ||z||^2 - 2 z.E^T + ||E||^2
-        z_sq = jnp.sum(flat * flat, axis=-1, keepdims=True)  # (N,1)
-        e_sq = jnp.sum(codebook * codebook, axis=-1)  # (K,)
-        dots = jnp.dot(flat, codebook.T, preferred_element_type=jnp.float32)
-        dists = z_sq - 2.0 * dots + e_sq[None, :]
-        codes = jnp.argmin(dists, axis=-1)  # (N,)
+        # nearest-code search: one big matmul on the MXU (no gather-heavy
+        # pairwise distances); on TPU the fused Pallas kernel keeps the
+        # (N, K) distances in VMEM for their whole life (ops/pallas/vq.py)
+        codes = nearest_codes(flat, codebook, impl=self.impl)  # (N,)
         z_q_flat = jnp.take(codebook, codes, axis=0)  # (N, D)
         z_q = z_q_flat.reshape(zf.shape)
 
@@ -70,8 +75,16 @@ class VectorQuantizer(nn.Module):
         else:
             vq_loss = codebook_loss + self.beta * commitment
 
-        one_hot = jax.nn.one_hot(codes, self.codebook_size, dtype=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)  # (K,)
+        # per-code counts (+ code-wise sums when the EMA update will consume
+        # them): scatter-free; on TPU the Pallas stats kernel accumulates
+        # them tile-wise without ever forming the (N, K) one-hot
+        need_sums = bool(
+            self.ema_decay > 0 and not self.is_initializing() and update_stats
+        )
+        counts, sums = code_stats(
+            codes, flat, self.codebook_size, with_sums=need_sums,
+            impl=self.impl,
+        )
         probs = counts / jnp.maximum(jnp.sum(counts), 1.0)
         perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
 
@@ -87,9 +100,6 @@ class VectorQuantizer(nn.Module):
                 new_counts = self.ema_decay * ema_counts.value + (
                     1 - self.ema_decay
                 ) * counts
-                sums = jnp.dot(
-                    one_hot.T, flat, preferred_element_type=jnp.float32
-                )  # (K, D)
                 new_sums = self.ema_decay * ema_sums.value + (1 - self.ema_decay) * sums
                 ema_counts.value = new_counts
                 ema_sums.value = new_sums
