@@ -76,6 +76,38 @@ def test_recon_only_step():
     assert "z_quantiles/kurtosis" in metrics
 
 
+def test_ema_weights_track_params():
+    decay = 0.5
+    state, jstep, batch, lp = _setup({"ema_decay": decay})
+    assert state.g_ema is not None
+    g0 = jax.tree_util.tree_map(jnp.copy, state.g_params)
+    state, _ = jstep(state, batch, lp, False)
+    state, _ = jstep(state, batch, lp, False)  # params move from step 2
+    # EMA obeys e' = d·e + (1-d)·p exactly, replayed from the per-step params
+    # (step 1 params == init params: lr warmup is 0 at step 0)
+    expect = jax.tree_util.tree_map(
+        lambda e0, p1: decay * (decay * e0 + (1 - decay) * e0)
+        + (1 - decay) * p1,
+        g0,
+        state.g_params,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state.g_ema)[0]),
+        np.asarray(jax.tree_util.tree_leaves(expect)[0]),
+        rtol=1e-5,
+    )
+    # EMA lags the raw params and differs from both endpoints
+    assert _param_delta(state.g_ema, state.g_params) > 0
+    assert _param_delta(state.g_ema, g0) > 0
+
+
+def test_ema_off_keeps_field_none():
+    state, jstep, batch, lp = _setup()
+    assert state.g_ema is None
+    state, _ = jstep(state, batch, lp, False)
+    assert state.g_ema is None
+
+
 def test_gan_step_updates_both():
     state, jstep, batch, lp = _setup(
         {"do_ganloss": True, "disc_type": "hinge", "use_lecam": True}

@@ -50,6 +50,50 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.isdir(run_dir / "orbax")
 
 
+def test_trainer_ema_eval_and_artifacts(tmp_path):
+    """--ema_decay: eval scores the Polyak weights; a *_ema.pt artifact is
+    written alongside the raw one; the EMA survives checkpoint resume."""
+    cfg = TrainConfig(
+        synthetic_data=True,
+        batch_size=8,
+        image_size=32,
+        max_steps=3,
+        num_epochs=1,
+        evaluate_every_n_steps=2,
+        use_wandb=False,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        run_name="e",
+        log_every=1,
+        ema_decay=0.9,
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))
+    trainer.train()
+    run_dir = tmp_path / "ckpt" / "e"
+    raw = glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))
+    ema = glob.glob(str(run_dir / "vae_epoch_*_step_*_ema.pt"))
+    assert raw and ema
+    assert trainer.state.g_ema is not None
+    # EMA lags the raw weights after updates
+    import jax
+    import jax.numpy as jnp
+
+    delta = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.g_ema),
+            jax.tree_util.tree_leaves(trainer.state.g_params),
+        )
+    )
+    assert delta > 0
+    # resume restores the EMA tree through orbax
+    t2 = Trainer(cfg, VAEConfig(**TINY))
+    assert t2.state.g_ema is not None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(t2.state.g_ema)[0]),
+        np.asarray(jax.tree_util.tree_leaves(trainer.state.g_ema)[0]),
+    )
+
+
 def test_trainer_preemption_checkpoint(tmp_path):
     """A preemption signal mid-training saves the full state and exits."""
     cfg = TrainConfig(

@@ -194,6 +194,44 @@ def test_trainer3d_gan_stack(tmp_path):
     assert "eval/lpips" in keys and "eval/psnr" in keys, keys
 
 
+def test_trainer3d_gan_ema(tmp_path):
+    """--ema_decay on the 3D GAN path: g_ema tracks the Polyak average and
+    eval scores it (train/step3d.py, trainer3d._eval_params)."""
+    import jax
+    import jax.numpy as jnp
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    cfg = TrainConfig(
+        batch_size=8, learning_rate_vae=0.03, max_steps=2, run_name="t3dema",
+        use_wandb=False, ckpt_dir=str(tmp_path), log_every=100,
+        do_ganloss=True, evaluate_every_n_steps=0, eval_batches=0,
+        ema_decay=0.5,
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=4)
+    assert trainer.state.g_ema is not None
+    src = synthetic_video_batches(8, 4, 16, seed=42)
+    for _ in range(3):
+        batch = jax.device_put(next(src), trainer.batch_shard)
+        trainer.state, _ = trainer._step(
+            trainer.state, batch, trainer.lpips_params
+        )
+    delta = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.g_ema),
+            jax.tree_util.tree_leaves(trainer.state.g_params),
+        )
+    )
+    assert delta > 0  # EMA lags the raw weights
+    leaves_e = jax.tree_util.tree_leaves(trainer.state.g_ema)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves_e)
+    # eval path picks the EMA tree
+    assert trainer._eval_params is trainer.state.g_ema
+
+
 def test_trainer3d_gan_checkpoint_resume(tmp_path):
     """GAN-path full-state checkpointing: a fresh Trainer3D for the same run
     resumes the TrainState (params, both optimizers, LeCam anchors, step)."""

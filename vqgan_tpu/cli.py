@@ -105,6 +105,10 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--log_every", type=int, default=5, help="Metric logging cadence in steps (reference logs every 5)")
 @click.option("--eval_batches", type=int, default=2, help="Test batches per eval (reference: 2); raise for tighter rFID")
 @click.option("--nan_guard", type=bool, default=True, help="Halt (without checkpointing) on non-finite loss")
+@click.option("--ema_decay", type=float, default=0.0,
+              help="Polyak EMA of generator weights (e.g. 0.999); eval and a "
+                   "*_ema.pt artifact use the averaged weights. 0 = off "
+                   "(reference behavior)")
 def train(**kw):
     """Train the 2D image VAE (optionally GAN) — TPU-native train_ddp."""
     vae_cfg = VAEConfig(
@@ -162,6 +166,7 @@ def train(**kw):
         log_every=kw["log_every"],
         eval_batches=kw["eval_batches"],
         nan_guard=kw["nan_guard"],
+        ema_decay=kw["ema_decay"],
         use_wandb=kw["use_wandb"],
         mesh_shape=kw["mesh_shape"],
         full_bf16=kw["full_bf16"],
@@ -211,6 +216,9 @@ def train(**kw):
 @click.option("--video_loss_frames", type=int, default=0,
               help="Frames per clip fed to the perceptual/GAN branches "
                    "(strided subset, random phase; 0 = all frames)")
+@click.option("--ema_decay", type=float, default=0.0,
+              help="Polyak EMA of generator weights (GAN path); eval scores "
+                   "the averaged weights. 0 = off")
 @click.option("--max_steps", type=int, default=1000)
 @click.option("--run_name", type=str, default="tvae_run")
 @click.option("--mesh_shape", type=str, default="data=-1")
@@ -256,6 +264,7 @@ def train3d(**kw):
         use_lecam=kw["use_lecam"],
         learning_rate_disc=kw["learning_rate_disc"],
         video_loss_frames=kw["video_loss_frames"],
+        ema_decay=kw["ema_decay"],
         max_steps=kw["max_steps"],
         run_name=kw["run_name"],
         mesh_shape=kw["mesh_shape"],

@@ -162,6 +162,12 @@ class TrainConfig:
     beta2: float = 0.95
     warmup_steps: int = 200
     max_steps: int = 1000
+    # exponential moving average of the generator weights (Polyak
+    # averaging) — standard production practice for VAE/GAN quality; the
+    # reference has no equivalent. 0 = off (reference behavior). When on,
+    # eval/checkpoint-export score and ship the EMA weights
+    # (state.g_ema), while training continues on the raw ones.
+    ema_decay: float = 0.0
 
     # objectives
     do_ganloss: bool = False

@@ -31,6 +31,9 @@ class TrainState:
     lecam_fake: jax.Array
     rng: jax.Array
     vq_ema: Any = None  # EMA codebook statistics (reg_type=vq with EMA)
+    # Polyak-averaged generator weights (cfg.ema_decay > 0); None when off.
+    # Mirrors g_params' tree, so state_shardings gives it the param layout.
+    g_ema: Any = None
 
 
 def hf_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int):
@@ -114,5 +117,12 @@ def create_train_state(
         lecam_fake=jnp.zeros((), jnp.float32),
         rng=rng,
         vq_ema=vq_ema,
+        # EMA starts at the initial weights (Polyak convention); a real copy
+        # so state donation can never alias it to g_params
+        g_ema=(
+            jax.tree_util.tree_map(jnp.copy, g_params)
+            if cfg.ema_decay > 0
+            else None
+        ),
     )
     return state, g_tx, d_tx

@@ -375,6 +375,18 @@ def make_train_step(
                 "reg": {**g_params["reg"], "codebook": new_cb},
             }
 
+        if cfg.ema_decay > 0:
+            # Polyak average tracks the post-update weights (incl. the VQ
+            # codebook fold above)
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: cfg.ema_decay * e
+                + (1.0 - cfg.ema_decay) * p.astype(e.dtype),
+                state.g_ema,
+                g_params,
+            )
+        else:
+            g_ema = state.g_ema
+
         new_state = TrainState(
             step=state.step + 1,
             g_params=g_params,
@@ -385,6 +397,7 @@ def make_train_step(
             lecam_fake=lecam_fake,
             rng=new_rng,
             vq_ema=new_ema,
+            g_ema=g_ema,
         )
         return new_state, metrics
 

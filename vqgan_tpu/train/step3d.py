@@ -222,6 +222,18 @@ def make_train_step_3d_gan(
         g_params = optax.apply_updates(state.g_params, g_updates)
         metrics.update(g_metrics)
 
+        if cfg.ema_decay > 0:
+            # Polyak average of the generator weights (same semantics as the
+            # 2D step, train/step.py)
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: cfg.ema_decay * e
+                + (1.0 - cfg.ema_decay) * p.astype(e.dtype),
+                state.g_ema,
+                g_params,
+            )
+        else:
+            g_ema = state.g_ema
+
         new_state = TrainState(
             step=state.step + 1,
             g_params=g_params,
@@ -232,6 +244,7 @@ def make_train_step_3d_gan(
             lecam_fake=lecam_fake,
             rng=new_rng,
             vq_ema=state.vq_ema,
+            g_ema=g_ema,
         )
         return new_state, metrics
 

@@ -399,7 +399,14 @@ class Trainer:
         # multi-host mesh: gather full host-local copies first. The
         # allgather is collective — EVERY rank must reach it before the
         # master gate, or the others deadlock here.
-        g_params, vq_ema = self.state.g_params, self.state.vq_ema
+        # score the Polyak-averaged weights when EMA is on (production
+        # convention; training itself stays on the raw weights)
+        g_params = (
+            self.state.g_ema
+            if self.state.g_ema is not None
+            else self.state.g_params
+        )
+        vq_ema = self.state.vq_ema
         if jax.process_count() > 1 and self._model_sharded:
             from jax.experimental import multihost_utils
 
@@ -497,3 +504,10 @@ class Trainer:
             )
             save_weights_torch(host_state.g_params, path)
             self.logger.info(f"Saved checkpoint to {path}")
+            if host_state.g_ema is not None:
+                # the production artifact: Polyak-averaged weights, in the
+                # same reference-layout .pt (raw weights stay above for
+                # exact-continuation interop)
+                ema_path = path[:-3] + "_ema.pt"
+                save_weights_torch(host_state.g_ema, ema_path)
+                self.logger.info(f"Saved EMA checkpoint to {ema_path}")

@@ -226,6 +226,13 @@ class Trainer3D:
         """Generator params regardless of which step path is active."""
         return self.state.g_params if self.use_gan else self.params
 
+    @property
+    def _eval_params(self):
+        """What eval/export should score: Polyak EMA weights when tracked."""
+        if self.use_gan and self.state.g_ema is not None:
+            return self.state.g_ema
+        return self._gparams
+
     def _host_state(self):
         if self.use_gan:
             return jax.device_get(self.state)
@@ -250,7 +257,7 @@ class Trainer3D:
         has no 3D analogue; tae.py is never trained in the reference)."""
         if jax.process_index() != 0:
             return
-        params = self._gparams
+        params = self._eval_params
         if jax.process_count() > 1:
             if self.mesh.shape.get("context", 1) > 1:
                 # the ring-attention forward carries shard_map collectives
