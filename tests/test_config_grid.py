@@ -21,6 +21,7 @@ GRID = [
     dict(reg_type="vq", vq_codebook_size=64, vq_ema_decay=0.9),
     dict(num_res_blocks=3),
     dict(remat=True),
+    dict(remat=True, remat_policy="conv"),
     dict(enc_dtype="bfloat16", dec_dtype="bfloat16"),
 ]
 

@@ -114,6 +114,41 @@ def test_tvae_shapes():
     assert dec.shape == (1, 4, 16, 16, 3)
 
 
+def test_vae_remat_policies_match_plain():
+    """2D family: remat (both residual policies) is a pure transform —
+    identical loss and gradients vs the plain model."""
+    import dataclasses
+
+    cfg = VAEConfig(
+        resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        enc_dtype="float32", dec_dtype="float32",
+    )
+    plain = VAE(cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
+    params = plain.init(rngs, x)["params"]
+
+    def loss(model, p):
+        dec, z = model.apply(
+            {"params": p}, x, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        return jnp.mean(dec.astype(jnp.float32) ** 2) + jnp.mean(
+            z.astype(jnp.float32) ** 2
+        )
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    for policy in ("full", "conv"):
+        m = VAE(cfg=dataclasses.replace(cfg, remat=True, remat_policy=policy))
+        l1, g1 = jax.value_and_grad(lambda p: loss(m, p))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+
 def test_tvae_remat_matches_plain():
     """remat=True is a pure memory/HBM-traffic transform: identical params
     tree, identical forward, identical gradients."""
@@ -146,6 +181,16 @@ def test_tvae_remat_matches_plain():
     l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # the "conv" residual policy (save conv outputs, recompute elementwise)
+    # is the same pure transform: identical loss and gradients
+    remat_conv = TVAE(
+        cfg=dataclasses.replace(cfg, remat=True, remat_policy="conv")
+    )
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat_conv, p))(params)
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 

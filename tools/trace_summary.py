@@ -121,6 +121,20 @@ def summarize_plane(plane, steps=None, peak=V5E_BF16_PEAK, hbm_bw=V5E_HBM_BW):
         )
     }
     top = sorted(per_op.items(), key=lambda kv: -kv[1][0])[:15]
+    # per-category top ops (name, ms, share, GB/s) — for drilling into
+    # non-conv time (e.g. which "data formatting" ops dominate)
+    by_cat_top = {}
+    for n, v in sorted(per_op.items(), key=lambda kv: -kv[1][0]):
+        lst = by_cat_top.setdefault(v[3], [])
+        if len(lst) < 12:
+            lst.append(
+                {
+                    "name": n.split(" = ")[0][:80],
+                    "ms": round(v[0] / 1e9, 2),
+                    "share": round(v[0] / busy_ps, 4),
+                    "gbps": round(v[2] / (v[0] / 1e12) / 1e9, 1) if v[0] else 0,
+                }
+            )
     out = {
         "plane": plane.name,
         "line": line.name,
@@ -143,6 +157,7 @@ def summarize_plane(plane, steps=None, peak=V5E_BF16_PEAK, hbm_bw=V5E_HBM_BW):
             }
             for n, v in top
         ],
+        "top_ops_by_category": by_cat_top,
     }
     if steps:
         out["per_step_s"] = round(wall_s / steps, 4)
@@ -158,6 +173,9 @@ def main():
     ap.add_argument("--peak", type=float, default=V5E_BF16_PEAK)
     ap.add_argument("--hbm-bw", type=float, default=V5E_HBM_BW)
     ap.add_argument("--json", action="store_true", help="JSON only")
+    ap.add_argument("--category", type=str, default=None,
+                    help="also print the top ops of this hlo_category "
+                         "(e.g. 'data formatting', 'loop fusion')")
     args = ap.parse_args()
 
     pbs = glob.glob(
@@ -204,6 +222,10 @@ def main():
         for t in s["top_ops"]:
             print(f"  {t['ms']:9.2f} ms  {t['share']*100:5.2f}%  "
                   f"{t['tflops']:7.1f} TF/s  [{t['category']}] {t['name']}")
+        if args.category:
+            for t in s["top_ops_by_category"].get(args.category, []):
+                print(f"  {t['ms']:9.2f} ms  {t['share']*100:5.2f}%  "
+                      f"{t['gbps']:8.1f} GB/s  {t['name']}")
 
 
 if __name__ == "__main__":

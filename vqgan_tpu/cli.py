@@ -78,6 +78,9 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
 @click.option("--vq_revive_threshold", type=float, default=0.0, help="Reseed codes with EMA count below this from batch samples (0=off)")
 @click.option("--mesh_shape", type=str, default="data=-1", help="Device mesh, e.g. data=4,fsdp=2,tensor=1")
 @click.option("--remat", type=bool, default=False, help="Activation rematerialization (fit large configs in HBM)")
+@click.option("--remat_policy", type=str, default="full",
+              help="Remat residual policy: full (recompute everything) | "
+                   "conv (save conv outputs, recompute elementwise only)")
 @click.option("--use_pallas_gn", type=bool, default=False, help="Use the Pallas fused GroupNorm+swish kernel")
 @click.option("--attn_chunk", type=int, default=0,
               help="Memory-efficient mid-block attention once H*W tokens "
@@ -109,6 +112,9 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
               help="Polyak EMA of generator weights (e.g. 0.999); eval and a "
                    "*_ema.pt artifact use the averaged weights. 0 = off "
                    "(reference behavior)")
+@click.option("--grad_accum", type=int, default=1,
+              help="Microbatches per optimizer step: effective batches "
+                   "beyond HBM (D updates before G sees it, as one big step)")
 def train(**kw):
     """Train the 2D image VAE (optionally GAN) — TPU-native train_ddp."""
     vae_cfg = VAEConfig(
@@ -126,6 +132,7 @@ def train(**kw):
         vq_codebook_size=kw["vq_codebook_size"],
         vq_revive_threshold=kw["vq_revive_threshold"],
         remat=kw["remat"],
+        remat_policy=kw["remat_policy"],
         use_pallas_gn=kw["use_pallas_gn"],
         attn_chunk=kw["attn_chunk"],
         attn_impl=kw["attn_impl"],
@@ -167,6 +174,7 @@ def train(**kw):
         eval_batches=kw["eval_batches"],
         nan_guard=kw["nan_guard"],
         ema_decay=kw["ema_decay"],
+        grad_accum=kw["grad_accum"],
         use_wandb=kw["use_wandb"],
         mesh_shape=kw["mesh_shape"],
         full_bf16=kw["full_bf16"],
@@ -195,6 +203,9 @@ def train(**kw):
 @click.option("--reg_type", type=str, default="gaussian", help="gaussian | vq")
 @click.option("--remat", type=bool, default=False,
               help="Level+block rematerialization (memory for long clips)")
+@click.option("--remat_policy", type=str, default="full",
+              help="Remat residual policy: full (recompute everything) | "
+                   "conv (save conv outputs, recompute elementwise only)")
 @click.option("--attn_chunk", type=int, default=0,
               help="Exact chunked mid-block attention over this many k/v "
                    "tokens (0 = dense) — single-chip long clips whose "
@@ -248,6 +259,7 @@ def train3d(**kw):
         reg_type=kw["reg_type"],
         vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
         remat=kw["remat"],
+        remat_policy=kw["remat_policy"],
         attn_chunk=kw["attn_chunk"],
         attn_impl=kw["attn_impl"],
         fused_gn_swish=kw["fused_gn_swish"],

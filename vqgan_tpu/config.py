@@ -62,6 +62,10 @@ class VAEConfig:
     # extra forward FLOPs for O(depth) less activation memory — required to
     # fit large configs (e.g. the HDR 512px recipe) in a 16GB chip
     remat: bool = False
+    # residual policy when remat is on: "full" = recompute everything inside
+    # each block/level; "conv" = save conv outputs, recompute elementwise —
+    # measured faster on HBM-bound steps (models/blocks.py::remat_with_policy)
+    remat_policy: str = "full"
     # use the Pallas fused GroupNorm+swish kernel (ops/pallas/groupnorm.py)
     use_pallas_gn: bool = False
     # memory-efficient mid-block attention when H·W tokens exceed this
@@ -110,6 +114,11 @@ class TVAEConfig:
     # THROUGHPUT lever — recompute is cheap when the MXU idles at ~20%
     # while saved-activation traffic saturates HBM (BASELINE.md)
     remat: bool = False
+    # residual policy when remat is on: "full" recomputes everything inside
+    # each block/level (memory-minimal); "conv" saves the conv outputs and
+    # recomputes only the elementwise chains (norm/silu/add) — a lighter
+    # recompute for the HBM-bound 3D step (models/tae.py::_remat)
+    remat_policy: str = "full"
     # mid-block attention over k/v chunks of this many tokens (exact
     # flash-style online softmax, ops/chunked_attention.py) instead of dense
     # SDPA — the single-chip answer to the O(N²) score matrix that OOMs
@@ -162,6 +171,11 @@ class TrainConfig:
     beta2: float = 0.95
     warmup_steps: int = 200
     max_steps: int = 1000
+    # process the global batch in this many sequential microbatches per
+    # optimizer step (train/step.py::step_accum): the effective batch can
+    # exceed HBM — e.g. the reference's 8-GPU HDR recipe at its full
+    # effective batch of 32 on one 16 GB chip. 1 = off.
+    grad_accum: int = 1
     # exponential moving average of the generator weights (Polyak
     # averaging) — standard production practice for VAE/GAN quality; the
     # reference has no equivalent. 0 = off (reference behavior). When on,

@@ -37,6 +37,7 @@ from vqgan_tpu.models.blocks import (
     conv3x3,
     swish,
 )
+from vqgan_tpu.models.blocks import remat_with_policy
 from vqgan_tpu.models.quant import VectorQuantizer
 from vqgan_tpu.ops.wavelet import wavelet_transform_multi_channel
 
@@ -49,11 +50,12 @@ class DownLevel(nn.Module):
     has_downsample: bool
     dtype: Dtype
     remat: bool = False
+    remat_policy: str = "full"
     pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
-        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Block = remat_with_policy(ResnetBlock, self.remat_policy, "vae_conv") if self.remat else ResnetBlock
         for i in range(self.num_res_blocks):
             h = Block(
                 self.block_out, dtype=self.dtype, pallas_gn=self.pallas_gn,
@@ -70,11 +72,12 @@ class UpLevel(nn.Module):
     has_upsample: bool
     dtype: Dtype
     remat: bool = False
+    remat_policy: str = "full"
     pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
-        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Block = remat_with_policy(ResnetBlock, self.remat_policy, "vae_conv") if self.remat else ResnetBlock
         for i in range(self.num_res_blocks + 1):
             h = Block(
                 self.block_out, dtype=self.dtype, pallas_gn=self.pallas_gn,
@@ -98,6 +101,7 @@ class Encoder(nn.Module):
     double_z: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
     pallas_gn: bool = False
     attn_chunk: int = 0
     attn_impl: str = "auto"
@@ -118,7 +122,7 @@ class Encoder(nn.Module):
         # remat at LEVEL granularity: only level-boundary activations are
         # saved; everything within a level is recomputed in the backward —
         # the decisive memory lever for 512px configs on a 16GB chip
-        Level = nn.remat(DownLevel) if self.remat else DownLevel
+        Level = remat_with_policy(DownLevel, self.remat_policy, "vae_conv") if self.remat else DownLevel
         for i_level in range(num_resolutions):
             has_down = i_level != num_resolutions - 1 and not (
                 self.use_wavelet and i_level == 0
@@ -131,12 +135,13 @@ class Encoder(nn.Module):
                 # nested: blocks also remat inside the rematted level, so the
                 # level's backward-recompute keeps only block boundaries live
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 pallas_gn=self.pallas_gn,
                 name=f"down_{i_level}",
             )(h)
 
         block_in = self.ch * ch_mult[-1]
-        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Block = remat_with_policy(ResnetBlock, self.remat_policy, "vae_conv") if self.remat else ResnetBlock
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_1")(h)
         if self.use_attn:
@@ -162,6 +167,7 @@ class Decoder(nn.Module):
     use_attn: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
     pallas_gn: bool = False
     attn_chunk: int = 0
     attn_impl: str = "auto"
@@ -171,7 +177,7 @@ class Decoder(nn.Module):
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         h = conv3x3(block_in, self.dtype, name="conv_in")(z)
-        Block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Block = remat_with_policy(ResnetBlock, self.remat_policy, "vae_conv") if self.remat else ResnetBlock
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_1")(h)
         if self.use_attn:
@@ -179,7 +185,7 @@ class Decoder(nn.Module):
                           attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Block(block_in, dtype=self.dtype, pallas_gn=self.pallas_gn,
                   name="mid_block_2")(h)
-        Level = nn.remat(UpLevel) if self.remat else UpLevel
+        Level = remat_with_policy(UpLevel, self.remat_policy, "vae_conv") if self.remat else UpLevel
         for i_level in reversed(range(num_resolutions)):
             h = Level(
                 block_out=self.ch * self.ch_mult[i_level],
@@ -187,6 +193,7 @@ class Decoder(nn.Module):
                 has_upsample=i_level != 0,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 pallas_gn=self.pallas_gn,
                 name=f"up_{i_level}",
             )(h)
@@ -246,6 +253,7 @@ class VAE(nn.Module):
             double_z=double_z,
             dtype=enc_dtype,
             remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy,
             pallas_gn=self.cfg.use_pallas_gn,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
@@ -258,6 +266,7 @@ class VAE(nn.Module):
             use_attn=self.cfg.use_attn,
             dtype=dec_dtype,
             remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy,
             pallas_gn=self.cfg.use_pallas_gn,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,

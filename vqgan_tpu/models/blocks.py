@@ -40,6 +40,32 @@ def swish(x: jax.Array) -> jax.Array:
     return jax.nn.silu(x)  # x * sigmoid(x), reference ae.py:13-14
 
 
+def remat_with_policy(cls, policy: str, tag: str):
+    """nn.remat with a residual policy (shared by the 2D and 3D families).
+
+    "full": save nothing inside the region — memory-minimal, recompute
+    everything. "conv": save only the ``tag_saveable``-tagged conv outputs
+    and recompute the cheap elementwise chains (norm/silu/add) — measured a
+    net THROUGHPUT win on HBM-bound steps, where the default schedule's
+    extra residual writes cost more than the recompute (BASELINE.md,
+    "selective remat")."""
+    if policy == "conv":
+        return nn.remat(
+            cls, policy=jax.checkpoint_policies.save_only_these_names(tag)
+        )
+    if policy == "full":
+        return nn.remat(cls)
+    raise ValueError(f"unknown remat_policy {policy!r}")
+
+
+def tag_saveable(x: jax.Array, tag: str) -> jax.Array:
+    """Mark a value as saveable under the "conv" remat policy. Erased during
+    lowering — free when no policy references the tag."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, tag)
+
+
 class FP32GroupNorm(nn.Module):
     """GroupNorm(32, eps=1e-6) computed in fp32 (reference ae.py:41-53).
 
@@ -111,7 +137,9 @@ class ResnetBlock(nn.Module):
         h = FP32GroupNorm(
             name="norm1", fused_swish=True, use_pallas=self.pallas_gn
         )(x)
-        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        h = tag_saveable(
+            conv3x3(self.out_channels, self.dtype, name="conv1")(h), "vae_conv"
+        )
         h = FP32GroupNorm(
             name="norm2", fused_swish=True, use_pallas=self.pallas_gn
         )(h)
@@ -127,8 +155,12 @@ class ResnetBlock(nn.Module):
             param_dtype=jnp.float32,
             name="conv2",
         )(h)
+        h = tag_saveable(h, "vae_conv")
         if in_channels != self.out_channels:
-            x = conv1x1(self.out_channels, self.dtype, name="nin_shortcut")(x)
+            x = tag_saveable(
+                conv1x1(self.out_channels, self.dtype, name="nin_shortcut")(x),
+                "vae_conv",
+            )
         return x + h
 
 
@@ -209,7 +241,7 @@ class Downsample(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(
+        return tag_saveable(nn.Conv(
             c,
             (3, 3),
             strides=(2, 2),
@@ -219,7 +251,7 @@ class Downsample(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
-        )(x)
+        )(x), "vae_conv")
 
 
 class Upsample(nn.Module):
@@ -231,4 +263,4 @@ class Upsample(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = nearest_upsample_2x(x)
-        return conv3x3(c, self.dtype, name="conv")(x)
+        return tag_saveable(conv3x3(c, self.dtype, name="conv")(x), "vae_conv")

@@ -26,12 +26,29 @@ import jax.numpy as jnp
 
 from vqgan_tpu.config import DTYPES, TVAEConfig
 from vqgan_tpu.models.ae import DiagonalGaussian
-from vqgan_tpu.models.blocks import torch_conv_kernel_init
+from vqgan_tpu.models.blocks import (
+    remat_with_policy,
+    tag_saveable,
+    torch_conv_kernel_init,
+)
 from vqgan_tpu.models.quant import VectorQuantizer
 from vqgan_tpu.ops.normalization import group_norm_fp32
 from vqgan_tpu.ops.resize import nearest_upsample_2x_3d
 
 Dtype = Any
+
+
+def _remat(cls, policy: str):
+    """nn.remat with the configured residual policy: "full" recomputes
+    everything; "conv" saves the tagged conv outputs and recomputes only
+    the cheap elementwise chains — measured +16% at 16f/128px and +12% at
+    48f/256px on the HBM-bound 3D step (BASELINE.md "selective remat")."""
+    return remat_with_policy(cls, policy, "tae_conv")
+
+
+def _tag(x: jax.Array) -> jax.Array:
+    return tag_saveable(x, "tae_conv")
+
 
 # torch Conv3d default bias init: U(±1/sqrt(fan_in)); tae.py does not zero
 # biases, unlike ae.py.
@@ -103,15 +120,17 @@ class ResnetBlock3D(nn.Module):
         h = GroupNorm3D(name="norm1", fused_swish=fs)(x)
         if not fs:
             h = jax.nn.silu(h)
-        h = conv3d(self.out_channels, 3, self.dtype, c_in * 27, name="conv1")(h)
+        h = _tag(conv3d(self.out_channels, 3, self.dtype, c_in * 27, name="conv1")(h))
         h = GroupNorm3D(name="norm2", fused_swish=fs)(h)
         if not fs:
             h = jax.nn.silu(h)
-        h = conv3d(
+        h = _tag(conv3d(
             self.out_channels, 3, self.dtype, self.out_channels * 27, name="conv2"
-        )(h)
+        )(h))
         if c_in != self.out_channels:
-            x = conv3d(self.out_channels, 1, self.dtype, c_in, name="nin_shortcut")(x)
+            x = _tag(
+                conv3d(self.out_channels, 1, self.dtype, c_in, name="nin_shortcut")(x)
+            )
         return x + h
 
 
@@ -241,9 +260,9 @@ class Downsample3D(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
-        return conv3d(
+        return _tag(conv3d(
             c, 3, self.dtype, c * 27, strides=2, padding="VALID", name="conv"
-        )(x)
+        )(x))
 
 
 class Upsample3D(nn.Module):
@@ -253,7 +272,7 @@ class Upsample3D(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = nearest_upsample_2x_3d(x)
-        return conv3d(c, 3, self.dtype, c * 27, name="conv")(x)
+        return _tag(conv3d(c, 3, self.dtype, c * 27, name="conv")(x))
 
 
 class DownLevel3D(nn.Module):
@@ -262,11 +281,12 @@ class DownLevel3D(nn.Module):
     has_downsample: bool
     dtype: Dtype
     remat: bool = False
+    remat_policy: str = "full"
     fused_swish: bool = True
 
     @nn.compact
     def __call__(self, h):
-        Block = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
+        Block = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks):
             h = Block(self.block_out, dtype=self.dtype,
                       fused_swish=self.fused_swish, name=f"block_{i}")(h)
@@ -281,11 +301,12 @@ class UpLevel3D(nn.Module):
     has_upsample: bool
     dtype: Dtype
     remat: bool = False
+    remat_policy: str = "full"
     fused_swish: bool = True
 
     @nn.compact
     def __call__(self, h):
-        Block = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
+        Block = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks + 1):
             h = Block(self.block_out, dtype=self.dtype,
                       fused_swish=self.fused_swish, name=f"block_{i}")(h)
@@ -306,6 +327,7 @@ class Encoder3D(nn.Module):
     mesh: Any = None
     ring_axis: str | None = None
     remat: bool = False
+    remat_policy: str = "full"
     attn_chunk: int = 0
     attn_impl: str = "auto"
     fused_swish: bool = True
@@ -313,7 +335,7 @@ class Encoder3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
-        Level = nn.remat(DownLevel3D) if self.remat else DownLevel3D
+        Level = _remat(DownLevel3D, self.remat_policy) if self.remat else DownLevel3D
         h = conv3d(self.ch, 3, self.dtype, x.shape[-1] * 27, name="conv_in")(x)
         for i in range(n):
             h = Level(
@@ -322,13 +344,14 @@ class Encoder3D(nn.Module):
                 has_downsample=i != n - 1,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 fused_swish=self.fused_swish,
                 name=f"down_{i}",
             )(h)
         block_in = self.ch * self.ch_mult[-1]
         # mid blocks remat too (2D-family parity, ae.py:137-143) — they are
         # the widest-channel activations at the attention resolution
-        Mid = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
+        Mid = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         fs = self.fused_swish
         h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
                 name="mid_block_1")(h)
@@ -357,6 +380,7 @@ class Decoder3D(nn.Module):
     mesh: Any = None
     ring_axis: str | None = None
     remat: bool = False
+    remat_policy: str = "full"
     attn_chunk: int = 0
     attn_impl: str = "auto"
     fused_swish: bool = True
@@ -364,8 +388,8 @@ class Decoder3D(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
-        Level = nn.remat(UpLevel3D) if self.remat else UpLevel3D
-        Mid = nn.remat(ResnetBlock3D) if self.remat else ResnetBlock3D
+        Level = _remat(UpLevel3D, self.remat_policy) if self.remat else UpLevel3D
+        Mid = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         fs = self.fused_swish
         block_in = self.ch * self.ch_mult[-1]
         h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
@@ -384,6 +408,7 @@ class Decoder3D(nn.Module):
                 has_upsample=i != 0,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 fused_swish=self.fused_swish,
                 name=f"up_{i}",
             )(h)
@@ -422,6 +447,7 @@ class TVAE(nn.Module):
             mesh=self.mesh,
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,
@@ -435,6 +461,7 @@ class TVAE(nn.Module):
             mesh=self.mesh,
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,

@@ -345,9 +345,21 @@ def make_train_step(
                 jax.tree_util.tree_map(jnp.zeros_like, new_ema),
             )
         )
+        new_state = _finish(
+            state, g_grads, d_params, d_opt, lecam_real, lecam_fake,
+            new_rng, new_ema, z, keys[7],
+        )
+        metrics.update(g_metrics)
+        return new_state, metrics
+
+    def _finish(
+        state, g_grads, d_params, d_opt, lecam_real, lecam_fake,
+        new_rng, new_ema, z_for_revive, revive_key,
+    ):
+        """Shared step tail: G optimizer update, VQ codebook fold, Polyak
+        EMA, next TrainState."""
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
-        metrics.update(g_metrics)
 
         if use_vq_ema:
             # fold the EMA statistics into the codebook (overwrites whatever
@@ -361,13 +373,13 @@ def make_train_step(
                 {"codebook": g_params["reg"]["codebook"]}, new_ema["reg"]
             )["codebook"]
             if vae_cfg.vq_revive_threshold > 0:
-                flat_z = jax.lax.stop_gradient(z).astype(jnp.float32)
+                flat_z = jax.lax.stop_gradient(z_for_revive).astype(jnp.float32)
                 flat_z = flat_z.reshape(-1, flat_z.shape[-1])
                 new_cb = revive_dead_codes(
                     new_cb,
                     new_ema["reg"]["counts"],
                     flat_z,
-                    keys[7],
+                    revive_key,
                     threshold=vae_cfg.vq_revive_threshold,
                 )
             g_params = {
@@ -387,7 +399,7 @@ def make_train_step(
         else:
             g_ema = state.g_ema
 
-        new_state = TrainState(
+        return TrainState(
             step=state.step + 1,
             g_params=g_params,
             g_opt=g_opt,
@@ -399,6 +411,167 @@ def make_train_step(
             vq_ema=new_ema,
             g_ema=g_ema,
         )
+
+    if cfg.grad_accum <= 1:
+        return step
+
+    # ------------------------------------------------------------------
+    # Gradient-accumulation variant (cfg.grad_accum > 1): the global batch
+    # is processed in `accum` microbatches so the EFFECTIVE batch can exceed
+    # what fits in HBM — e.g. the reference's 8×80GB-GPU HDR recipe at its
+    # full effective batch of 32 on one 16 GB chip. Semantics = "one step at
+    # the bigger batch", with these documented deltas:
+    #   - GradNorm normalizes each microbatch's branch cotangent by that
+    #     microbatch's own norm (the same normalization family the reference
+    #     applies per rank, with microbatches as virtual ranks);
+    #   - LeCam anchors advance once per microbatch during the D scan
+    #     (a slow β=0.9 EMA; equals reference behavior at batch=mb for
+    #     `accum` consecutive steps);
+    #   - z-quantile telemetry is the mean of per-microbatch quantiles.
+    # D sees every microbatch before G (D update between the two scans), and
+    # the G scan recomputes the generator forward (one extra fwd per step —
+    # the price of not holding all microbatch residuals at once, which would
+    # be the full-batch memory this mode exists to avoid).
+    # ------------------------------------------------------------------
+    accum = cfg.grad_accum
+
+    def step_accum(
+        state: TrainState,
+        batch: jax.Array,
+        lpips_params,
+        do_crop: int,
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, new_rng = jax.random.split(state.rng)
+        keys = jax.random.split(rng, 8)
+        b = batch.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by grad_accum {accum}")
+        mbatch = batch.reshape(accum, b // accum, *batch.shape[1:])
+
+        def mb_rngs(i):
+            # one coin per STEP for flips/crops (the whole effective batch
+            # flips together, like the reference's per-batch coins); fresh
+            # sampler noise per microbatch (iid across the effective batch)
+            return {
+                "flip_in": keys[0],
+                "sample": jax.random.fold_in(keys[1], i),
+                "flip_w": keys[2],
+                "flip_h": keys[3],
+                "crop": keys[4],
+                "aug_lpips_w": keys[5],
+                "aug_lpips_h": keys[6],
+            }
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.g_params)
+
+        d_params = state.d_params
+        d_opt = state.d_opt
+        lecam_real, lecam_fake = state.lecam_real, state.lecam_fake
+        d_metrics_mean = {}
+        if cfg.do_ganloss:
+            # --- scan 1: accumulate D grads over microbatches (recon
+            # stop-gradded; anchors advance sequentially) ---
+            def d_scan(carry, xs):
+                d_acc, lr, lf = carry
+                i, xb = xs
+                recon, _, target, _, _, _ = gen_forward(
+                    state.g_params, state.vq_ema, xb, mb_rngs(i), do_crop
+                )
+                recon_const = jax.lax.stop_gradient(recon.astype(jnp.float32))
+
+                def d_loss_fn(dp):
+                    real_preds = disc_apply(dp, target)
+                    fake_preds = disc_apply(dp, recon_const)
+                    d_loss, d_metrics = gan_disc_loss(
+                        real_preds, fake_preds, cfg.disc_type
+                    )
+                    new_real, new_fake = update_lecam_anchors(
+                        lr, lf,
+                        jax.lax.stop_gradient(d_metrics["avg_real_logits"]),
+                        jax.lax.stop_gradient(d_metrics["avg_fake_logits"]),
+                        cfg.lecam_beta,
+                    )
+                    total_d = d_loss
+                    lecam_val = jnp.zeros((), jnp.float32)
+                    if cfg.use_lecam:
+                        lecam_val = lecam_penalty(
+                            real_preds, fake_preds, new_real, new_fake
+                        )
+                        total_d = total_d + cfg.lecam_weight * lecam_val
+                    return total_d, (d_metrics, d_loss, lecam_val, new_real, new_fake)
+
+                (_, (d_m, d_loss, lecam_val, lr, lf)), d_g = (
+                    jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+                )
+                d_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / accum, d_acc, d_g
+                )
+                out = {
+                    "gan/discriminator_loss": d_loss,
+                    "gan/discriminator_accuracy": d_m["disc_acc"],
+                    "gan/avg_real_logits": d_m["avg_real_logits"],
+                    "gan/avg_fake_logits": d_m["avg_fake_logits"],
+                    "gan/lecam_loss": lecam_val,
+                }
+                return (d_acc, lr, lf), out
+
+            zeros_d = jax.tree_util.tree_map(jnp.zeros_like, d_params)
+            (d_grads, lecam_real, lecam_fake), d_outs = jax.lax.scan(
+                d_scan, (zeros_d, lecam_real, lecam_fake),
+                (jnp.arange(accum), mbatch),
+            )
+            d_metrics_mean = {k: v.mean() for k, v in d_outs.items()}
+            d_metrics_mean["gan/lecam_anchor_real_logits"] = lecam_real
+            d_metrics_mean["gan/lecam_anchor_fake_logits"] = lecam_fake
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+        # --- scan 2: accumulate G grads with the UPDATED discriminator
+        # (generator forward recomputed per microbatch) ---
+        def g_scan(carry, xs):
+            g_acc, vq_ema_c = carry
+            i, xb = xs
+            rngs_i = mb_rngs(i)
+            (recon, z, target, aux_loss, z_pre, new_ema), gen_vjp = jax.vjp(
+                lambda p: gen_forward(p, vq_ema_c, xb, rngs_i, do_crop),
+                state.g_params,
+            )
+            g_total, g_pullback, g_metrics = jax.vjp(
+                lambda r, zz, al: g_losses(
+                    r, zz, al, target, d_params, lpips_params, rngs_i
+                ),
+                recon, z, aux_loss,
+                has_aux=True,
+            )
+            d_recon, d_z, d_aux = g_pullback(jnp.ones((), g_total.dtype))
+            (g_g,) = gen_vjp(
+                (
+                    d_recon,
+                    d_z,
+                    jnp.zeros_like(target),
+                    d_aux,
+                    jnp.zeros_like(z_pre),
+                    jax.tree_util.tree_map(jnp.zeros_like, new_ema),
+                )
+            )
+            g_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g / accum, g_acc, g_g
+            )
+            outs = dict(g_metrics)
+            outs.update(_z_statistics(z_pre))
+            # keep one microbatch's latents for dead-code revival sampling
+            return (g_acc, new_ema), (outs, jax.lax.stop_gradient(z))
+
+        (g_grads, new_ema), (g_outs, z_all) = jax.lax.scan(
+            g_scan, (zeros_g, state.vq_ema), (jnp.arange(accum), mbatch)
+        )
+        metrics = {k: v.mean() for k, v in g_outs.items()}
+        metrics.update(d_metrics_mean)
+
+        new_state = _finish(
+            state, g_grads, d_params, d_opt, lecam_real, lecam_fake,
+            new_rng, new_ema, z_all, keys[7],
+        )
         return new_state, metrics
 
-    return step
+    return step_accum
