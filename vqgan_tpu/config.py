@@ -119,6 +119,13 @@ class TVAEConfig:
     # recomputes only the elementwise chains (norm/silu/add) — a lighter
     # recompute for the HBM-bound 3D step (models/tae.py::_remat)
     remat_policy: str = "full"
+    # how to compute the 3x3x3 stride-1 convs: "auto" (tap2d on TPU,
+    # direct elsewhere), "direct" (XLA Conv3d) or "tap2d" (three temporal
+    # taps of batched 2D convs, same parameters and math —
+    # models/tae.py::Conv3DTap2D; far better MXU tiling for the
+    # narrow-channel video convs: +13% at 16f/128px, +103% at 48f/256px,
+    # BASELINE.md "conv3d_impl")
+    conv3d_impl: str = "auto"
     # mid-block attention over k/v chunks of this many tokens (exact
     # flash-style online softmax, ops/chunked_attention.py) instead of dense
     # SDPA — the single-chip answer to the O(N²) score matrix that OOMs

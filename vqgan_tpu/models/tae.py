@@ -61,6 +61,60 @@ def _torch_bias_init(fan_in: int):
     return init
 
 
+class Conv3DTap2D(nn.Module):
+    """3×3×3 stride-1 Conv3d computed as three temporal taps of 2D convs:
+    ``y[t] = Σ_{dt∈{0,1,2}} conv2d(x[t+dt-1], kernel[dt])`` over the
+    (B·T, H, W, C) flattening, with zero SAME padding on T.
+
+    Same parameter tensors as ``nn.Conv`` ((3,3,3,Ci,Co) ``kernel`` +
+    ``bias`` — checkpoint/torch-import parity preserved) and the same math
+    up to summation order. The point is MXU tiling: XLA maps the batched
+    2D convs far better than the narrow-channel 3D convs that dominate the
+    video step (trace: 3D conv fusions 65% of time at 33–66 TF/s;
+    BASELINE.md "conv3d_impl"). Select with ``TVAEConfig.conv3d_impl``.
+    """
+
+    features: int
+    dtype: Dtype
+    fan_in: int
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_conv_kernel_init,
+            (3, 3, 3, ci, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        b, t, h, w, _ = x.shape
+        xt = xd.reshape(b * t, h, w, ci)
+        dn = ("NHWC", "HWIO", "NHWC")
+        taps = [
+            jax.lax.conv_general_dilated(
+                xt, k[dt], (1, 1), "SAME", dimension_numbers=dn
+            ).reshape(b, t, h, w, self.features)
+            for dt in range(3)
+        ]
+        z = jnp.zeros_like(taps[0][:, :1])
+        out = (
+            jnp.concatenate([z, taps[0][:, :-1]], 1)
+            + taps[1]
+            + jnp.concatenate([taps[2][:, 1:], z], 1)
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(self.fan_in), (self.features,),
+                jnp.float32,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 def conv3d(
     features: int,
     kernel: int,
@@ -71,7 +125,24 @@ def conv3d(
     use_bias: bool = True,
     kernel_init=None,
     name: str | None = None,
-) -> nn.Conv:
+    impl: str = "direct",
+):
+    if impl == "auto":
+        # tap2d measured 213 vs 189 f/s at 16f/128px and 40.8 vs 20.1 f/s
+        # at 48f/256px on v5e (BASELINE.md "conv3d_impl") — default on TPU;
+        # "direct" elsewhere (CPU tests, jax.export artifacts)
+        impl = "tap2d" if jax.default_backend() == "tpu" else "direct"
+    if impl == "tap2d" and kernel == 3 and strides == 1 and padding == "SAME":
+        return Conv3DTap2D(
+            features=features,
+            dtype=dtype,
+            fan_in=fan_in,
+            use_bias=use_bias,
+            kernel_init=kernel_init,
+            name=name,
+        )
+    if impl not in ("direct", "tap2d"):
+        raise ValueError(f"unknown conv3d_impl {impl!r}")
     return nn.Conv(
         features,
         (kernel,) * 3,
@@ -112,20 +183,24 @@ class ResnetBlock3D(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
     fused_swish: bool = True
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c_in = x.shape[-1]
         fs = self.fused_swish
+        ci = self.conv3d_impl
         h = GroupNorm3D(name="norm1", fused_swish=fs)(x)
         if not fs:
             h = jax.nn.silu(h)
-        h = _tag(conv3d(self.out_channels, 3, self.dtype, c_in * 27, name="conv1")(h))
+        h = _tag(conv3d(self.out_channels, 3, self.dtype, c_in * 27,
+                        name="conv1", impl=ci)(h))
         h = GroupNorm3D(name="norm2", fused_swish=fs)(h)
         if not fs:
             h = jax.nn.silu(h)
         h = _tag(conv3d(
-            self.out_channels, 3, self.dtype, self.out_channels * 27, name="conv2"
+            self.out_channels, 3, self.dtype, self.out_channels * 27,
+            name="conv2", impl=ci,
         )(h))
         if c_in != self.out_channels:
             x = _tag(
@@ -267,12 +342,14 @@ class Downsample3D(nn.Module):
 
 class Upsample3D(nn.Module):
     dtype: Dtype = jnp.float32
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = nearest_upsample_2x_3d(x)
-        return _tag(conv3d(c, 3, self.dtype, c * 27, name="conv")(x))
+        return _tag(conv3d(c, 3, self.dtype, c * 27, name="conv",
+                           impl=self.conv3d_impl)(x))
 
 
 class DownLevel3D(nn.Module):
@@ -283,13 +360,15 @@ class DownLevel3D(nn.Module):
     remat: bool = False
     remat_policy: str = "full"
     fused_swish: bool = True
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, h):
         Block = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks):
             h = Block(self.block_out, dtype=self.dtype,
-                      fused_swish=self.fused_swish, name=f"block_{i}")(h)
+                      fused_swish=self.fused_swish,
+                      conv3d_impl=self.conv3d_impl, name=f"block_{i}")(h)
         if self.has_downsample:
             h = Downsample3D(dtype=self.dtype, name="downsample")(h)
         return h
@@ -303,15 +382,18 @@ class UpLevel3D(nn.Module):
     remat: bool = False
     remat_policy: str = "full"
     fused_swish: bool = True
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, h):
         Block = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         for i in range(self.num_res_blocks + 1):
             h = Block(self.block_out, dtype=self.dtype,
-                      fused_swish=self.fused_swish, name=f"block_{i}")(h)
+                      fused_swish=self.fused_swish,
+                      conv3d_impl=self.conv3d_impl, name=f"block_{i}")(h)
         if self.has_upsample:
-            h = Upsample3D(dtype=self.dtype, name="upsample")(h)
+            h = Upsample3D(dtype=self.dtype, conv3d_impl=self.conv3d_impl,
+                           name="upsample")(h)
         return h
 
 
@@ -331,12 +413,14 @@ class Encoder3D(nn.Module):
     attn_chunk: int = 0
     attn_impl: str = "auto"
     fused_swish: bool = True
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
         Level = _remat(DownLevel3D, self.remat_policy) if self.remat else DownLevel3D
-        h = conv3d(self.ch, 3, self.dtype, x.shape[-1] * 27, name="conv_in")(x)
+        h = conv3d(self.ch, 3, self.dtype, x.shape[-1] * 27, name="conv_in",
+                   impl=self.conv3d_impl)(x)
         for i in range(n):
             h = Level(
                 block_out=self.ch * self.ch_mult[i],
@@ -346,6 +430,7 @@ class Encoder3D(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 fused_swish=self.fused_swish,
+                conv3d_impl=self.conv3d_impl,
                 name=f"down_{i}",
             )(h)
         block_in = self.ch * self.ch_mult[-1]
@@ -354,18 +439,21 @@ class Encoder3D(nn.Module):
         Mid = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         fs = self.fused_swish
         h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                conv3d_impl=self.conv3d_impl,
                 name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
                         attn_chunk=self.attn_chunk,
                         attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                conv3d_impl=self.conv3d_impl,
                 name="mid_block_2")(h)
         h = GroupNorm3D(name="norm_out", fused_swish=fs)(h)
         if not fs:
             h = jax.nn.silu(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
-        h = conv3d(out_ch, 3, self.dtype, block_in * 27, name="conv_out")(h)
+        h = conv3d(out_ch, 3, self.dtype, block_in * 27, name="conv_out",
+                   impl=self.conv3d_impl)(h)
         return h
 
 
@@ -384,6 +472,7 @@ class Decoder3D(nn.Module):
     attn_chunk: int = 0
     attn_impl: str = "auto"
     fused_swish: bool = True
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -392,14 +481,17 @@ class Decoder3D(nn.Module):
         Mid = _remat(ResnetBlock3D, self.remat_policy) if self.remat else ResnetBlock3D
         fs = self.fused_swish
         block_in = self.ch * self.ch_mult[-1]
-        h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in")(z)
+        h = conv3d(block_in, 3, self.dtype, z.shape[-1] * 27, name="conv_in",
+                   impl=self.conv3d_impl)(z)
         h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                conv3d_impl=self.conv3d_impl,
                 name="mid_block_1")(h)
         h = AttnBlock3D(dtype=self.dtype, mesh=self.mesh,
                         ring_axis=self.ring_axis,
                         attn_chunk=self.attn_chunk,
                         attn_impl=self.attn_impl, name="mid_attn_1")(h)
         h = Mid(block_in, dtype=self.dtype, fused_swish=fs,
+                conv3d_impl=self.conv3d_impl,
                 name="mid_block_2")(h)
         for i in reversed(range(n)):
             h = Level(
@@ -410,12 +502,14 @@ class Decoder3D(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 fused_swish=self.fused_swish,
+                conv3d_impl=self.conv3d_impl,
                 name=f"up_{i}",
             )(h)
         h = GroupNorm3D(name="norm_out", fused_swish=fs)(h)
         if not fs:
             h = jax.nn.silu(h)
-        h = conv3d(self.out_ch, 3, self.dtype, h.shape[-1] * 27, name="conv_out")(h)
+        h = conv3d(self.out_ch, 3, self.dtype, h.shape[-1] * 27,
+                   name="conv_out", impl=self.conv3d_impl)(h)
         return h
 
 
@@ -448,6 +542,7 @@ class TVAE(nn.Module):
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
+            conv3d_impl=self.cfg.conv3d_impl,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,
@@ -462,6 +557,7 @@ class TVAE(nn.Module):
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
+            conv3d_impl=self.cfg.conv3d_impl,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,

@@ -248,4 +248,151 @@ def make_train_step_3d_gan(
         )
         return new_state, metrics
 
-    return step
+    if cfg.grad_accum <= 1:
+        return step
+
+    # ------------------------------------------------------------------
+    # Gradient accumulation (cfg.grad_accum > 1) — the 2D design
+    # (train/step.py::step_accum) applied to clips, where it matters most:
+    # the effective CLIP batch can exceed HBM. Semantics = one step at the
+    # bigger batch; D-grad scan over microbatches → D update → G-grad scan
+    # against the UPDATED D (reference D-before-G ordering preserved).
+    # LeCam anchors advance once per microbatch in the D scan; GradNorm
+    # normalizes per microbatch (microbatches as virtual ranks); the G scan
+    # recomputes the generator forward rather than holding every
+    # microbatch's residuals — the memory this mode exists to avoid.
+    # ------------------------------------------------------------------
+    accum = cfg.grad_accum
+
+    def step_accum(
+        state: TrainState, batch: jax.Array, lpips_params
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, new_rng = jax.random.split(state.rng)
+        k_sample, k_frames = jax.random.split(rng)
+        b = batch.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by grad_accum {accum}")
+        mbatch = batch.astype(jnp.float32).reshape(
+            accum, b // accum, *batch.shape[1:]
+        )
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.g_params)
+        d_params, d_opt = state.d_params, state.d_opt
+        lecam_real, lecam_fake = state.lecam_real, state.lecam_fake
+        d_metrics_mean = {}
+        if use_gan:
+            def d_scan(carry, xs):
+                d_acc, lr, lf = carry
+                i, xb = xs
+                recon, _ = gen_forward(
+                    state.g_params, xb, jax.random.fold_in(k_sample, i)
+                )
+                recon_f, target_f = _frame_subset(
+                    k_frames,
+                    (jax.lax.stop_gradient(recon.astype(jnp.float32)), xb),
+                    cfg.video_loss_frames,
+                )
+                fake_frames = _flat_frames(recon_f)
+                real_frames = _flat_frames(target_f)
+
+                def d_loss_fn(dp):
+                    real_preds = disc_apply(dp, real_frames)
+                    fake_preds = disc_apply(dp, fake_frames)
+                    d_loss, d_metrics = gan_disc_loss(
+                        real_preds, fake_preds, cfg.disc_type
+                    )
+                    new_real, new_fake = update_lecam_anchors(
+                        lr, lf,
+                        jax.lax.stop_gradient(d_metrics["avg_real_logits"]),
+                        jax.lax.stop_gradient(d_metrics["avg_fake_logits"]),
+                        cfg.lecam_beta,
+                    )
+                    total_d = d_loss
+                    lecam_val = jnp.zeros((), jnp.float32)
+                    if cfg.use_lecam:
+                        lecam_val = lecam_penalty(
+                            real_preds, fake_preds, new_real, new_fake
+                        )
+                        total_d = total_d + cfg.lecam_weight * lecam_val
+                    aux = (d_metrics, d_loss, lecam_val, new_real, new_fake)
+                    return total_d, aux
+
+                (_, (d_m, d_loss, lecam_val, lr, lf)), d_g = (
+                    jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+                )
+                d_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / accum, d_acc, d_g
+                )
+                out = {
+                    "gan/discriminator_loss": d_loss,
+                    "gan/discriminator_accuracy": d_m["disc_acc"],
+                    "gan/avg_real_logits": d_m["avg_real_logits"],
+                    "gan/avg_fake_logits": d_m["avg_fake_logits"],
+                    "gan/lecam_loss": lecam_val,
+                }
+                return (d_acc, lr, lf), out
+
+            zeros_d = jax.tree_util.tree_map(jnp.zeros_like, d_params)
+            (d_grads, lecam_real, lecam_fake), d_outs = jax.lax.scan(
+                d_scan, (zeros_d, lecam_real, lecam_fake),
+                (jnp.arange(accum), mbatch),
+            )
+            d_metrics_mean = {k: v.mean() for k, v in d_outs.items()}
+            d_metrics_mean["gan/lecam_anchor_real_logits"] = lecam_real
+            d_metrics_mean["gan/lecam_anchor_fake_logits"] = lecam_fake
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+        def g_scan(g_acc, xs):
+            i, xb = xs
+            (recon, reg_loss), gen_vjp = jax.vjp(
+                lambda p: gen_forward(p, xb, jax.random.fold_in(k_sample, i)),
+                state.g_params,
+            )
+            g_total, g_pullback, g_metrics = jax.vjp(
+                lambda r, rl: g_losses(
+                    r, rl, xb, d_params, lpips_params, k_frames
+                ),
+                recon, reg_loss,
+                has_aux=True,
+            )
+            d_recon, d_reg = g_pullback(jnp.ones((), g_total.dtype))
+            (g_g,) = gen_vjp((d_recon, d_reg))
+            g_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g / accum, g_acc, g_g
+            )
+            return g_acc, g_metrics
+
+        g_grads, g_outs = jax.lax.scan(
+            g_scan, zeros_g, (jnp.arange(accum), mbatch)
+        )
+        metrics = {k: v.mean() for k, v in g_outs.items()}
+        metrics.update(d_metrics_mean)
+
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        if cfg.ema_decay > 0:
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: cfg.ema_decay * e
+                + (1.0 - cfg.ema_decay) * p.astype(e.dtype),
+                state.g_ema,
+                g_params,
+            )
+        else:
+            g_ema = state.g_ema
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            g_opt=g_opt,
+            d_params=d_params,
+            d_opt=d_opt,
+            lecam_real=lecam_real,
+            lecam_fake=lecam_fake,
+            rng=new_rng,
+            vq_ema=state.vq_ema,
+            g_ema=g_ema,
+        )
+        return new_state, metrics
+
+    return step_accum

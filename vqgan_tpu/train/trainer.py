@@ -55,6 +55,13 @@ class Trainer:
                 f"global batch_size {cfg.batch_size} must be divisible by the "
                 f"data-parallel extent {n_data} of mesh {dict(self.mesh.shape)}"
             )
+        if cfg.grad_accum > 1 and cfg.batch_size % (cfg.grad_accum * n_data):
+            # each microbatch (batch/accum) is itself sharded over the data
+            # axes; a non-divisible split would reshard mid-scan
+            raise ValueError(
+                f"global batch_size {cfg.batch_size} must be divisible by "
+                f"grad_accum {cfg.grad_accum} × data-parallel extent {n_data}"
+            )
         n_ctx = self.mesh.shape.get("context", 1)
         if n_ctx > 1 and cfg.image_size % n_ctx:
             raise ValueError(

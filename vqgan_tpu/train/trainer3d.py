@@ -72,9 +72,39 @@ def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
 
     def step(params, opt_state, batch, rng):
         rng, sub = jax.random.split(rng)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, sub
-        )
+        if cfg.grad_accum > 1:
+            # microbatch scan: the effective clip batch exceeds HBM
+            # (train/step3d.py has the GAN-path counterpart)
+            accum = cfg.grad_accum
+            b = batch.shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"batch {b} not divisible by grad_accum {accum}"
+                )
+            mbatch = batch.reshape(accum, b // accum, *batch.shape[1:])
+
+            def scan_fn(g_acc, xs):
+                i, xb = xs
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, xb, jax.random.fold_in(sub, i)
+                )
+                return (
+                    jax.tree_util.tree_map(
+                        lambda a, gg: a + gg / accum, g_acc, g
+                    ),
+                    m,
+                )
+
+            grads, outs = jax.lax.scan(
+                scan_fn,
+                jax.tree_util.tree_map(jnp.zeros_like, params),
+                (jnp.arange(accum), mbatch),
+            )
+            metrics = {k: v.mean() for k, v in outs.items()}
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch, sub)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, rng, metrics
@@ -104,6 +134,13 @@ class Trainer3D:
             raise ValueError(
                 f"--batch_size {cfg.batch_size} must divide by the mesh's "
                 f"data-parallel extent {n_data}"
+            )
+        if cfg.grad_accum > 1 and cfg.batch_size % (
+            cfg.grad_accum * max(1, n_data)
+        ):
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must divide by grad_accum "
+                f"{cfg.grad_accum} × data-parallel extent {n_data}"
             )
         # context axis > 1: shard the clip's T dim (batch_sharding ndim=5
         # puts "context" on dim 1) and run the mid-block attentions as exact
