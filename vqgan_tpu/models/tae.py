@@ -531,6 +531,12 @@ class TVAE(nn.Module):
     def setup(self):
         dtype = DTYPES[self.cfg.compute_dtype]
         double_z = self.cfg.reg_type == "gaussian"
+        conv_impl = self.cfg.conv3d_impl
+        if conv_impl == "auto" and self.ring_axis is not None:
+            # context-parallel runs shard the clip's T dim; tap2d's (B·T)
+            # flatten would merge a sharded dim into batch and force GSPMD
+            # resharding around every conv — keep the direct Conv3d there
+            conv_impl = "direct"
         self.encoder = Encoder3D(
             ch=self.cfg.ch,
             ch_mult=tuple(self.cfg.ch_mult),
@@ -542,7 +548,7 @@ class TVAE(nn.Module):
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
-            conv3d_impl=self.cfg.conv3d_impl,
+            conv3d_impl=conv_impl,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,
@@ -557,7 +563,7 @@ class TVAE(nn.Module):
             ring_axis=self.ring_axis,
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
-            conv3d_impl=self.cfg.conv3d_impl,
+            conv3d_impl=conv_impl,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,
