@@ -334,11 +334,13 @@ def test_vae2d_attn_chunk_matches_dense():
     )
 
 
-def test_tvae_conv3d_tap2d_matches_direct():
-    """conv3d_impl="tap2d" (temporal-tap batched 2D convs,
-    models/tae.py::Conv3DTap2D) is the same function as the direct Conv3d:
-    identical parameter tree, matching forward and gradients (fp32, up to
-    summation order)."""
+@pytest.mark.parametrize("impl", ["tap2d", "tap2dfat"])
+def test_tvae_conv3d_tap2d_matches_direct(impl):
+    """conv3d_impl="tap2d"/"tap2dfat" (temporal-tap batched 2D convs,
+    models/tae.py::Conv3DTap2D{,Fat} + the stride-2 Downsample3D
+    counterparts, exercised via ch_mult (1,2)) are the same function as the
+    direct Conv3d: identical parameter tree, matching forward and gradients
+    (fp32, up to summation order)."""
     import dataclasses
 
     cfg = TVAEConfig(
@@ -346,7 +348,7 @@ def test_tvae_conv3d_tap2d_matches_direct():
         compute_dtype="float32",
     )
     direct = TVAE(cfg=cfg)
-    tap = TVAE(cfg=dataclasses.replace(cfg, conv3d_impl="tap2d"))
+    tap = TVAE(cfg=dataclasses.replace(cfg, conv3d_impl=impl))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
     rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
     p_direct = direct.init(rngs, x)["params"]
@@ -372,6 +374,71 @@ def test_tvae_conv3d_tap2d_matches_direct():
     for a, b in zip(
         jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
     ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_vae_fused_upsample_matches_direct():
+    """upsample_impl="fused" (subpixel phase convs, ops/subpixel.py via
+    blocks.py::SubpixelUpConv) is the same function as the direct
+    nearest-2x + conv3x3 decoder Upsample: identical parameter tree,
+    matching forward and gradients."""
+    import dataclasses
+
+    cfg = VAEConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                    z_channels=8, enc_dtype="float32", dec_dtype="float32")
+    direct = VAE(cfg=cfg)
+    fused = VAE(cfg=dataclasses.replace(cfg, upsample_impl="fused"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    rngs = {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}
+    p0 = direct.init(rngs, x)["params"]
+    p1 = fused.init(rngs, x)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        assert a.shape == b.shape
+
+    def loss(model, p):
+        dec, z = model.apply({"params": p}, x)
+        return jnp.mean(dec.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(direct, p))(p0)
+    l1, g1 = jax.value_and_grad(lambda p: loss(fused, p))(p0)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_tvae_fused_upsample_matches_direct():
+    """3D upsample_impl="fused" (tae.py::SubpixelUpConv3D) matches the
+    direct nearest-2x-3D + Conv3d decoder path: same parameter tree,
+    forward, and gradients."""
+    import dataclasses
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32",
+    )
+    direct = TVAE(cfg=cfg)
+    fused = TVAE(cfg=dataclasses.replace(cfg, upsample_impl="fused"))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
+    p0 = direct.init(rngs, x)["params"]
+    p1 = fused.init(rngs, x)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+
+    def loss(model, p):
+        dec, z = model.apply(
+            {"params": p}, x, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        return jnp.mean(dec.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(direct, p))(p0)
+    l1, g1 = jax.value_and_grad(lambda p: loss(fused, p))(p0)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )

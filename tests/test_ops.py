@@ -369,3 +369,48 @@ def test_blurriness_heatmap_matches_reference():
             blurriness_heatmap(jnp.asarray(x.transpose(0, 2, 3, 1)))
         ).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_subpixel_upsample_conv2d_matches_direct():
+    """ops/subpixel.py::upsample2x_conv2d == conv3x3_SAME(nearest_2x(x)) —
+    the fused decoder-upsample form (reference ae.py:157-167) is the same
+    function, including the zero-pad borders."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.resize import nearest_upsample_2x
+    from vqgan_tpu.ops.subpixel import upsample2x_conv2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 6, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        nearest_upsample_2x(x), k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = upsample2x_conv2d(x, k)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_subpixel_upsample_conv3d_matches_direct():
+    """ops/subpixel.py::upsample2x_conv3d == conv3x3x3_SAME(nearest_2x_3d(x))
+    (reference tae.py:107-117), including borders."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.resize import nearest_upsample_2x_3d
+    from vqgan_tpu.ops.subpixel import upsample2x_conv3d
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 3, 4, 5, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 3, 4).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        nearest_upsample_2x_3d(x), k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    out = upsample2x_conv3d(x, k)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

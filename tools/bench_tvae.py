@@ -31,6 +31,7 @@ def main():
     @click.option("--remat", type=bool, default=False)
     @click.option("--remat_policy", type=str, default="full")
     @click.option("--conv3d_impl", type=str, default="auto")
+    @click.option("--upsample_impl", type=str, default="direct")
     @click.option("--attn_chunk", type=int, default=0)
     @click.option("--attn_impl", type=str, default="auto",
                   help="auto | pallas | lax (ops/flash_attention.py)")
@@ -39,7 +40,7 @@ def main():
                   help="capture a jax.profiler trace of the measured steps")
     def run(batch, frames, res, ch, ch_mult, steps, dtype, remat, attn_chunk,
             attn_impl, fused_gn_swish, profile_dir, remat_policy,
-            conv3d_impl):
+            conv3d_impl, upsample_impl):
         import jax
         import numpy as np
 
@@ -50,6 +51,7 @@ def main():
             resolution=res, ch=ch, ch_mult=parse_ch_mult(ch_mult),
             num_res_blocks=1, z_channels=8, compute_dtype=dtype, remat=remat,
             remat_policy=remat_policy, conv3d_impl=conv3d_impl,
+            upsample_impl=upsample_impl,
             attn_chunk=attn_chunk, attn_impl=attn_impl,
             fused_gn_swish=fused_gn_swish,
         )

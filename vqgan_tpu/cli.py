@@ -87,6 +87,10 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
                    "exceed this (0 = dense; for very-high-res --do_attn)")
 @click.option("--attn_impl", type=str, default="auto",
               help="auto (Pallas flash on TPU, lax elsewhere) | pallas | lax")
+@click.option("--upsample_impl", type=str, default="direct",
+              help="Decoder Upsample blocks: direct (nearest-2x then conv) "
+                   "| fused (identical subpixel phase convs, ops/subpixel.py)"
+                   " | auto (fused on TPU)")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
 @click.option("--gradnorm_mode", type=str, default="global",
               help="global = Frobenius norm of the global cotangent; "
@@ -136,6 +140,7 @@ def train(**kw):
         use_pallas_gn=kw["use_pallas_gn"],
         attn_chunk=kw["attn_chunk"],
         attn_impl=kw["attn_impl"],
+        upsample_impl=kw["upsample_impl"],
     )
     cfg = TrainConfig(
         dataset_url=kw["dataset_url"],
@@ -217,6 +222,10 @@ def train(**kw):
 @click.option("--attn_impl", type=str, default="auto",
               help="Chunked-attention impl: auto (Pallas flash kernel on "
                    "TPU, lax scan elsewhere) | pallas | lax")
+@click.option("--upsample_impl", type=str, default="direct",
+              help="Decoder Upsample3D blocks: direct (nearest-2x-3D then "
+                   "Conv3d) | fused (identical subpixel phase convs, "
+                   "ops/subpixel.py) | auto (fused on TPU)")
 @click.option("--fused_gn_swish", type=bool, default=False,
               help="Fold norm->silu into the GroupNorm sweep (perf knob; "
                    "numerics unchanged)")
@@ -270,6 +279,7 @@ def train3d(**kw):
         conv3d_impl=kw["conv3d_impl"],
         attn_chunk=kw["attn_chunk"],
         attn_impl=kw["attn_impl"],
+        upsample_impl=kw["upsample_impl"],
         fused_gn_swish=kw["fused_gn_swish"],
     )
     cfg = TrainConfig(

@@ -75,6 +75,12 @@ class VAEConfig:
     # reference's behavior; token counts at ≤512px are tiny)
     attn_chunk: int = 0
     attn_impl: str = "auto"
+    # decoder Upsample blocks: "direct" materializes the nearest-2x tensor
+    # then 3x3-convs it (the reference's form, ae.py:157-167); "fused"
+    # computes the identical function as subpixel phase convs
+    # (ops/subpixel.py — no 4x activation write, 4 MACs/output px vs 9);
+    # "auto" = fused on TPU, direct elsewhere
+    upsample_impl: str = "direct"
 
     @property
     def ffactor(self) -> int:
@@ -138,6 +144,11 @@ class TVAEConfig:
     # scan elsewhere; "pallas"/"lax" force one. jax.export artifacts always
     # use lax (a baked Pallas call would be TPU-only StableHLO).
     attn_impl: str = "auto"
+    # decoder Upsample3D blocks: "direct" materializes the nearest-2x-3D
+    # tensor then 3x3x3-convs it (reference tae.py:107-117); "fused" is the
+    # identical function as subpixel phase convs (ops/subpixel.py — no 8x
+    # activation write, 8 MACs/output voxel vs 27); "auto" = fused on TPU
+    upsample_impl: str = "direct"
     # fold the norm->silu chains into the GroupNorm op's elementwise sweep
     # (ops/normalization.py with_swish), as the 2D family does. MEASURED
     # (BASELINE.md round 3): neutral at the 48f/256px long-clip config and

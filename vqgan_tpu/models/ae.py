@@ -74,6 +74,7 @@ class UpLevel(nn.Module):
     remat: bool = False
     remat_policy: str = "full"
     pallas_gn: bool = False
+    upsample_impl: str = "direct"
 
     @nn.compact
     def __call__(self, h: jax.Array) -> jax.Array:
@@ -84,7 +85,8 @@ class UpLevel(nn.Module):
                 name=f"block_{i}",
             )(h)
         if self.has_upsample:
-            h = Upsample(dtype=self.dtype, name="upsample")(h)
+            h = Upsample(dtype=self.dtype, impl=self.upsample_impl,
+                         name="upsample")(h)
         return h
 
 
@@ -171,6 +173,7 @@ class Decoder(nn.Module):
     pallas_gn: bool = False
     attn_chunk: int = 0
     attn_impl: str = "auto"
+    upsample_impl: str = "direct"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -195,6 +198,7 @@ class Decoder(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 pallas_gn=self.pallas_gn,
+                upsample_impl=self.upsample_impl,
                 name=f"up_{i_level}",
             )(h)
         h = FP32GroupNorm(
@@ -270,6 +274,7 @@ class VAE(nn.Module):
             pallas_gn=self.cfg.use_pallas_gn,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
+            upsample_impl=self.cfg.upsample_impl,
         )
         if self.cfg.reg_type == "identity_gaussian":
             self.reg = IdentityGaussian()

@@ -254,13 +254,48 @@ class Downsample(nn.Module):
         )(x), "vae_conv")
 
 
-class Upsample(nn.Module):
-    """Nearest 2× then 3×3 conv (reference ae.py:157-167)."""
+class SubpixelUpConv(nn.Module):
+    """Parameter-compatible fused form of nearest-2× + 3×3 conv: same
+    ``kernel``/``bias`` tensors as the ``nn.Conv`` it replaces (checkpoint /
+    torch-import parity), computed as 4 subpixel phase convs in one wide 2×2
+    conv (ops/subpixel.py) — never materializes the 4× upsampled activation
+    and does 4 MACs per output pixel instead of 9."""
 
+    features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from vqgan_tpu.ops.subpixel import upsample2x_conv2d
+
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        out = upsample2x_conv2d(x.astype(self.dtype), kernel.astype(self.dtype))
+        return out + bias.astype(out.dtype)
+
+
+class Upsample(nn.Module):
+    """Nearest 2× then 3×3 conv (reference ae.py:157-167). ``impl="fused"``
+    computes the identical function as subpixel phase convs without writing
+    the upsampled tensor (SubpixelUpConv)."""
+
+    dtype: Dtype = jnp.float32
+    impl: str = "direct"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
+        impl = self.impl
+        if impl == "auto":
+            impl = "fused" if jax.default_backend() == "tpu" else "direct"
+        if impl == "fused":
+            return tag_saveable(
+                SubpixelUpConv(c, self.dtype, name="conv")(x), "vae_conv"
+            )
         x = nearest_upsample_2x(x)
         return tag_saveable(conv3x3(c, self.dtype, name="conv")(x), "vae_conv")

@@ -115,6 +115,153 @@ class Conv3DTap2D(nn.Module):
         return out
 
 
+class Conv3DTap2DStride2(nn.Module):
+    """Stride-2 VALID 3×3×3 Conv3d as three temporal taps of stride-2 2D
+    convs: ``y[t'] = Σ_dt conv2d_s2(x[2t'+dt], kernel[dt])`` — the
+    Downsample3D counterpart of Conv3DTap2D (same parameter tensors, same
+    math up to summation order)."""
+
+    features: int
+    dtype: Dtype
+    fan_in: int
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_conv_kernel_init,
+            (3, 3, 3, ci, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        b, t, h, w, _ = x.shape
+        t_out = (t - 3) // 2 + 1
+        dn = ("NHWC", "HWIO", "NHWC")
+        out = None
+        for dt in range(3):
+            x_dt = xd[:, dt : dt + 2 * (t_out - 1) + 1 : 2]
+            xt = x_dt.reshape(b * t_out, h, w, ci)
+            y = jax.lax.conv_general_dilated(
+                xt, k[dt], (2, 2), "VALID", dimension_numbers=dn
+            )
+            y = y.reshape(b, t_out, y.shape[1], y.shape[2], self.features)
+            out = y if out is None else out + y
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(self.fan_in), (self.features,),
+                jnp.float32,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class Conv3DTap2DFat(nn.Module):
+    """Conv3DTap2D with all three temporal taps computed by ONE 2D conv of
+    3·Co output channels (kernel viewed as (3,3,Ci,3·Co), kt folded into
+    out-channels), combined by a pad+slice+add over T. Versus the three-conv
+    tap2d form this reads the activation once instead of three times and
+    lets XLA fuse the temporal shifts into a single loop fusion — the tap2d
+    trace showed 20% of step time in data formatting (the zero-concat
+    output shifts) on an HBM-bound step. Same parameter tensors, same math
+    up to summation order."""
+
+    features: int
+    dtype: Dtype
+    fan_in: int
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_conv_kernel_init,
+            (3, 3, 3, ci, co),
+            jnp.float32,
+        )
+        # (kt,kh,kw,ci,co) -> (kh,kw,ci,kt*co): tap dt lives at [dt*co:(dt+1)*co]
+        kf = jnp.transpose(kernel.astype(self.dtype), (1, 2, 3, 0, 4))
+        kf = kf.reshape(3, 3, ci, 3 * co)
+        xd = x.astype(self.dtype)
+        b, t, h, w, _ = x.shape
+        y = jax.lax.conv_general_dilated(
+            xd.reshape(b * t, h, w, ci), kf, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(b, t, h, w, 3 * co)
+        # out[t] = y[t-1, tap0] + y[t, tap1] + y[t+1, tap2], zero boundaries
+        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = (
+            yp[:, 0:t, :, :, 0:co]
+            + yp[:, 1 : t + 1, :, :, co : 2 * co]
+            + yp[:, 2 : t + 2, :, :, 2 * co : 3 * co]
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(self.fan_in), (co,), jnp.float32,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+class Conv3DTap2DStride2Fat(nn.Module):
+    """Stride-2 VALID counterpart of Conv3DTap2DFat via a parity split:
+    even input frames feed taps 0 and 2 (one 2·Co-wide stride-2 2D conv),
+    odd frames feed tap 1 — exactly the frame-conv FLOPs the stride-2
+    output needs, with each input frame read once."""
+
+    features: int
+    dtype: Dtype
+    fan_in: int
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_conv_kernel_init,
+            (3, 3, 3, ci, co),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        b, t, h, w, _ = x.shape
+        t_out = (t - 3) // 2 + 1
+        dn = ("NHWC", "HWIO", "NHWC")
+        k_even = jnp.concatenate([k[0], k[2]], axis=-1)  # (3,3,ci,2co)
+        n_even = (t + 1) // 2
+        n_odd = t // 2
+        xe = xd[:, 0 : 2 * n_even : 2].reshape(b * n_even, h, w, ci)
+        xo = xd[:, 1 : 2 * n_odd : 2].reshape(b * n_odd, h, w, ci)
+        ye = jax.lax.conv_general_dilated(xe, k_even, (2, 2), "VALID",
+                                          dimension_numbers=dn)
+        yo = jax.lax.conv_general_dilated(xo, k[1], (2, 2), "VALID",
+                                          dimension_numbers=dn)
+        ho, wo = ye.shape[1], ye.shape[2]
+        ye = ye.reshape(b, n_even, ho, wo, 2 * co)
+        yo = yo.reshape(b, n_odd, ho, wo, co)
+        # out[t'] = ye[t', tap0] + yo[t', tap1] + ye[t'+1, tap2]
+        out = (
+            ye[:, :t_out, :, :, 0:co]
+            + yo[:, :t_out]
+            + ye[:, 1 : t_out + 1, :, :, co : 2 * co]
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(self.fan_in), (co,), jnp.float32,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 def conv3d(
     features: int,
     kernel: int,
@@ -132,16 +279,32 @@ def conv3d(
         # at 48f/256px on v5e (BASELINE.md "conv3d_impl") — default on TPU;
         # "direct" elsewhere (CPU tests, jax.export artifacts)
         impl = "tap2d" if jax.default_backend() == "tpu" else "direct"
-    if impl == "tap2d" and kernel == 3 and strides == 1 and padding == "SAME":
-        return Conv3DTap2D(
-            features=features,
-            dtype=dtype,
-            fan_in=fan_in,
-            use_bias=use_bias,
-            kernel_init=kernel_init,
-            name=name,
-        )
-    if impl not in ("direct", "tap2d"):
+    if kernel == 3 and strides == 1 and padding == "SAME":
+        cls = {"tap2d": Conv3DTap2D, "tap2dfat": Conv3DTap2DFat}.get(impl)
+        if cls is not None:
+            return cls(
+                features=features,
+                dtype=dtype,
+                fan_in=fan_in,
+                use_bias=use_bias,
+                kernel_init=kernel_init,
+                name=name,
+            )
+    if kernel == 3 and strides == 2 and padding == "VALID":
+        cls = {
+            "tap2d": Conv3DTap2DStride2,
+            "tap2dfat": Conv3DTap2DStride2Fat,
+        }.get(impl)
+        if cls is not None:
+            return cls(
+                features=features,
+                dtype=dtype,
+                fan_in=fan_in,
+                use_bias=use_bias,
+                kernel_init=kernel_init,
+                name=name,
+            )
+    if impl not in ("direct", "tap2d", "tap2dfat"):
         raise ValueError(f"unknown conv3d_impl {impl!r}")
     return nn.Conv(
         features,
@@ -330,23 +493,58 @@ class Downsample3D(nn.Module):
     """Stride-2 conv with (0,1) pad over T, H, W (reference tae.py:93-104)."""
 
     dtype: Dtype = jnp.float32
+    conv3d_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
         return _tag(conv3d(
-            c, 3, self.dtype, c * 27, strides=2, padding="VALID", name="conv"
+            c, 3, self.dtype, c * 27, strides=2, padding="VALID", name="conv",
+            impl=self.conv3d_impl,
         )(x))
+
+
+class SubpixelUpConv3D(nn.Module):
+    """Parameter-compatible fused nearest-2x-3D + 3x3x3 conv: identical
+    ``kernel``/``bias`` tensors to the Conv3d it replaces, computed as 8
+    subpixel phase convs in one wide 2x2x2 conv (ops/subpixel.py) — the 8x
+    upsampled activation is never written to HBM and the conv does 8 MACs
+    per output voxel instead of 27."""
+
+    features: int
+    dtype: Dtype
+    fan_in: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from vqgan_tpu.ops.subpixel import upsample2x_conv3d
+
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (3, 3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", _torch_bias_init(self.fan_in), (self.features,),
+            jnp.float32,
+        )
+        out = upsample2x_conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
+        return out + bias.astype(out.dtype)
 
 
 class Upsample3D(nn.Module):
     dtype: Dtype = jnp.float32
     conv3d_impl: str = "direct"
+    upsample_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
+        impl = self.upsample_impl
+        if impl == "auto":
+            impl = "fused" if jax.default_backend() == "tpu" else "direct"
+        if impl == "fused":
+            return _tag(SubpixelUpConv3D(c, self.dtype, c * 27, name="conv")(x))
         x = nearest_upsample_2x_3d(x)
         return _tag(conv3d(c, 3, self.dtype, c * 27, name="conv",
                            impl=self.conv3d_impl)(x))
@@ -370,7 +568,8 @@ class DownLevel3D(nn.Module):
                       fused_swish=self.fused_swish,
                       conv3d_impl=self.conv3d_impl, name=f"block_{i}")(h)
         if self.has_downsample:
-            h = Downsample3D(dtype=self.dtype, name="downsample")(h)
+            h = Downsample3D(dtype=self.dtype, conv3d_impl=self.conv3d_impl,
+                             name="downsample")(h)
         return h
 
 
@@ -383,6 +582,7 @@ class UpLevel3D(nn.Module):
     remat_policy: str = "full"
     fused_swish: bool = True
     conv3d_impl: str = "direct"
+    upsample_impl: str = "direct"
 
     @nn.compact
     def __call__(self, h):
@@ -393,6 +593,7 @@ class UpLevel3D(nn.Module):
                       conv3d_impl=self.conv3d_impl, name=f"block_{i}")(h)
         if self.has_upsample:
             h = Upsample3D(dtype=self.dtype, conv3d_impl=self.conv3d_impl,
+                           upsample_impl=self.upsample_impl,
                            name="upsample")(h)
         return h
 
@@ -473,6 +674,7 @@ class Decoder3D(nn.Module):
     attn_impl: str = "auto"
     fused_swish: bool = True
     conv3d_impl: str = "direct"
+    upsample_impl: str = "direct"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -503,6 +705,7 @@ class Decoder3D(nn.Module):
                 remat_policy=self.remat_policy,
                 fused_swish=self.fused_swish,
                 conv3d_impl=self.conv3d_impl,
+                upsample_impl=self.upsample_impl,
                 name=f"up_{i}",
             )(h)
         h = GroupNorm3D(name="norm_out", fused_swish=fs)(h)
@@ -564,6 +767,7 @@ class TVAE(nn.Module):
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
             conv3d_impl=conv_impl,
+            upsample_impl=self.cfg.upsample_impl,
             attn_chunk=self.cfg.attn_chunk,
             attn_impl=self.cfg.attn_impl,
             fused_swish=self.cfg.fused_gn_swish,

@@ -1,0 +1,97 @@
+"""Fused nearest-2x-upsample + 3x3(x3) conv via subpixel phase kernels.
+
+The reference Upsample blocks (ae.py:157-167, tae.py:107-117) materialize the
+nearest-neighbor 2x-upsampled tensor and run a full 3x3(x3) conv over it.
+Because nearest upsampling repeats each input voxel, conv(upsample(x)) is
+exactly equal to a family of small "phase" convs applied directly to x and
+interleaved (depth-to-space): for output index 2v+p (per dim, p in {0,1}),
+
+    y[2v+p] = sum_k w[k] * x[floor((2v+p+k)/2)]
+            = phase-p 2-tap conv over x, taps [w0, w1+w2] (p=0)
+                                         or [w0+w1, w2]   (p=1).
+
+This never writes the 4x/8x upsampled activation to HBM and does 4 (2D) / 8
+(3D) MACs per output voxel instead of 9 / 27 — a 2.25x / 3.4x FLOP cut on the
+decoder's upsample convs with identical parameters and identical math (the
+phase kernels are linear combinations of the (3,3[,3],Ci,Co) kernel, built
+inside the traced function so gradients flow to the canonical tensor and
+checkpoints/torch-import stay bit-compatible).
+
+All phases are evaluated by ONE conv with Co·(4 or 8) output channels (phase
+index folded into out-channels), so the MXU sees a single wide contraction;
+the interleave is a slice+stack+reshape XLA fuses into one loop fusion.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# A[phase, tap, orig_tap]: per-dim linear map from the 3 original kernel taps
+# to the 2 phase-conv taps (see module docstring).
+_A = jnp.array(
+    [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],
+     [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]],
+    dtype=jnp.float32,
+)
+
+
+def upsample2x_conv2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """conv2d_3x3_SAME(nearest_upsample_2x(x), kernel), computed fused.
+
+    x: (B, H, W, Ci); kernel: (3, 3, Ci, Co). Returns (B, 2H, 2W, Co).
+    Compute dtype follows x/kernel (cast before calling).
+    """
+    b, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    a = _A.astype(kernel.dtype)
+    # (th, tw, ci, ph, pw, co) -> (2, 2, ci, 4*co); block (ph*2+pw) holds co
+    kf = jnp.einsum("pai,qbj,ijcf->abcpqf", a, a, kernel)
+    kf = kf.reshape(2, 2, ci, 4 * co)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kf, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (b, h+1, w+1, 4co)
+    rows = []
+    for p in (0, 1):
+        cols = []
+        for q in (0, 1):
+            blk = (p * 2 + q) * co
+            cols.append(y[:, p : p + h, q : q + w, blk : blk + co])
+        rows.append(jnp.stack(cols, axis=3))  # (b, h, w, 2, co)
+    g = jnp.stack(rows, axis=2)  # (b, h, 2, w, 2, co)
+    return g.reshape(b, 2 * h, 2 * w, co)
+
+
+def upsample2x_conv3d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """conv3d_3x3x3_SAME(nearest_upsample_2x_3d(x), kernel), computed fused.
+
+    x: (B, T, H, W, Ci); kernel: (3, 3, 3, Ci, Co).
+    Returns (B, 2T, 2H, 2W, Co).
+    """
+    b, t, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    a = _A.astype(kernel.dtype)
+    # (tt, th, tw, ci, pt, ph, pw, co) -> (2,2,2,ci,8co); block pt*4+ph*2+pw
+    kf = jnp.einsum("pai,qbj,rck,ijkdf->abcdpqrf", a, a, a, kernel)
+    kf = kf.reshape(2, 2, 2, ci, 8 * co)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kf, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )  # (b, t+1, h+1, w+1, 8co)
+    t_parts = []
+    for p in (0, 1):
+        rows = []
+        for q in (0, 1):
+            cols = []
+            for r in (0, 1):
+                blk = (p * 4 + q * 2 + r) * co
+                cols.append(
+                    y[:, p : p + t, q : q + h, r : r + w, blk : blk + co]
+                )
+            rows.append(jnp.stack(cols, axis=4))  # (b, t, h, w, 2, co)
+        t_parts.append(jnp.stack(rows, axis=3))  # (b, t, h, 2, w, 2, co)
+    g = jnp.stack(t_parts, axis=2)  # (b, t, 2, h, 2, w, 2, co)
+    return g.reshape(b, 2 * t, 2 * h, 2 * w, co)
