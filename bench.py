@@ -26,6 +26,15 @@ import numpy as np
 A100_BF16_FLOPS = 312e12
 ASSUMED_REF_MFU = 0.40  # generous to the reference (torch.compile max-autotune)
 
+# The reference's own per-image step cost at this config: XLA cost analysis
+# of the identical step with the canonical (direct, reference ae.py:157-167)
+# decoder-upsample lowering — 12.244 TFLOP/img (BENCH_r02, BASELINE.md).
+# Our step now computes the same function in fewer FLOPs (subpixel fused
+# upsample, ops/subpixel.py), so the baseline must price the REFERENCE's
+# math, not ours; flops_per_image in the JSON still reports our measured
+# cost for MFU arithmetic.
+REF_FLOPS_PER_IMAGE = 12.244367704064e12
+
 IMAGE_RES = 256
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
@@ -130,13 +139,11 @@ def main():
                 raise
             continue
         ips_per_chip = ips / n_chips
-        if flops_per_step:
-            flops_per_img = flops_per_step / batch_size
-            baseline_ips = ASSUMED_REF_MFU * A100_BF16_FLOPS / flops_per_img
-        else:
-            # fallback: analytic estimate of this config ≈ 9.5 TFLOP/img
-            # (fwd+bwd of G at 256px + D update + LPIPS), see BASELINE.md
-            baseline_ips = ASSUMED_REF_MFU * A100_BF16_FLOPS / 9.5e12
+        flops_per_img = flops_per_step / batch_size if flops_per_step else None
+        # price the reference's computation (direct-impl cost), never fewer
+        # FLOPs than our own measured step actually does
+        ref_cost = max(REF_FLOPS_PER_IMAGE, flops_per_img or 0.0)
+        baseline_ips = ASSUMED_REF_MFU * A100_BF16_FLOPS / ref_cost
         result = {
             "metric": "images/sec/chip, 256px full GAN training (ch=256 VAE + VGG disc + LPIPS)",
             "value": round(ips_per_chip, 3),

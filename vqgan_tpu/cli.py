@@ -87,10 +87,10 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
                    "exceed this (0 = dense; for very-high-res --do_attn)")
 @click.option("--attn_impl", type=str, default="auto",
               help="auto (Pallas flash on TPU, lax elsewhere) | pallas | lax")
-@click.option("--upsample_impl", type=str, default="direct",
+@click.option("--upsample_impl", type=str, default="auto",
               help="Decoder Upsample blocks: direct (nearest-2x then conv) "
                    "| fused (identical subpixel phase convs, ops/subpixel.py)"
-                   " | auto (fused on TPU)")
+                   " | auto (fused on TPU — measured +4.8% on the flagship)")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
 @click.option("--gradnorm_mode", type=str, default="global",
               help="global = Frobenius norm of the global cotangent; "

@@ -79,8 +79,10 @@ class VAEConfig:
     # then 3x3-convs it (the reference's form, ae.py:157-167); "fused"
     # computes the identical function as subpixel phase convs
     # (ops/subpixel.py — no 4x activation write, 4 MACs/output px vs 9);
-    # "auto" = fused on TPU, direct elsewhere
-    upsample_impl: str = "direct"
+    # "auto" = fused on TPU, direct elsewhere. MEASURED (BASELINE.md round
+    # 3): fused moves the flagship 256px GAN bench 13.04 -> 13.67 img/s/chip
+    # (-9.8% step FLOPs, identical math) — default auto.
+    upsample_impl: str = "auto"
 
     @property
     def ffactor(self) -> int:

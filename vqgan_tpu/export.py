@@ -75,6 +75,12 @@ def export_vae(
             "exporting an EMA-codebook VQ model requires the train state's "
             "vq_ema collection (pass vq_ema=state.vq_ema)"
         )
+    # canonical lowering for the artifact: "auto" impl knobs resolve by the
+    # EXPORTING host's backend at trace time, which would make the artifact's
+    # HLO depend on where it was built; the direct form is the reference
+    # computation and lowers on every platform (math identical either way)
+    if cfg.upsample_impl != "direct":
+        cfg = dataclasses.replace(cfg, upsample_impl="direct")
     from vqgan_tpu.inference import check_reg_matches_params
 
     check_reg_matches_params(cfg, params)
@@ -156,6 +162,12 @@ def export_tvae(
     # TPU-only; the lax chunked path is exact and lowers on every platform
     if cfg.attn_impl != "lax":
         cfg = dataclasses.replace(cfg, attn_impl="lax")
+    # canonical Conv3d/upsample lowering (see export_vae: "auto" resolves by
+    # the exporting host's backend; keep artifacts host-independent)
+    if cfg.conv3d_impl != "direct" or cfg.upsample_impl != "direct":
+        cfg = dataclasses.replace(
+            cfg, conv3d_impl="direct", upsample_impl="direct"
+        )
     if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0:
         raise ValueError(
             "exporting a VQ TVAE requires vq_ema_decay=0 (serving reads the "
