@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vqgan_tpu.ops.gradnorm import gradnorm
 from vqgan_tpu.parallel.mesh import (
