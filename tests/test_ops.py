@@ -394,6 +394,54 @@ def test_subpixel_upsample_conv2d_matches_direct():
     )
 
 
+def _compiled_flops(fn, *args) -> float:
+    import jax
+
+    cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+    c = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(c["flops"])
+
+
+def test_subpixel_upsample_flop_reduction():
+    """The fused subpixel form must actually COST less, not just match: XLA
+    cost analysis pins ~4/9 (2D) and ~8/27 (3D) of the direct lowering's
+    FLOPs — the measured +4.8% flagship throughput (BASELINE.md round 3)
+    rests on this; a refactor that re-materializes the upsampled activation
+    would pass the parity tests above but fail here."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.resize import nearest_upsample_2x, nearest_upsample_2x_3d
+    from vqgan_tpu.ops.subpixel import upsample2x_conv2d, upsample2x_conv3d
+
+    rng = np.random.RandomState(2)
+    x2 = jnp.asarray(rng.randn(2, 32, 32, 64).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32))
+
+    def direct2d(x, k):
+        return jax.lax.conv_general_dilated(
+            nearest_upsample_2x(x), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    direct = _compiled_flops(direct2d, x2, k2)
+    fused = _compiled_flops(upsample2x_conv2d, x2, k2)
+    assert fused < 0.55 * direct, (fused, direct)
+
+    x3 = jnp.asarray(rng.randn(1, 8, 16, 16, 32).astype(np.float32))
+    k3 = jnp.asarray(rng.randn(3, 3, 3, 32, 32).astype(np.float32))
+
+    def direct3d(x, k):
+        return jax.lax.conv_general_dilated(
+            nearest_upsample_2x_3d(x), k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    direct = _compiled_flops(direct3d, x3, k3)
+    fused = _compiled_flops(upsample2x_conv3d, x3, k3)
+    assert fused < 0.42 * direct, (fused, direct)
+
+
 def test_subpixel_upsample_conv3d_matches_direct():
     """ops/subpixel.py::upsample2x_conv3d == conv3x3x3_SAME(nearest_2x_3d(x))
     (reference tae.py:107-117), including borders."""
