@@ -159,7 +159,8 @@ def test_exported_tvae_rejects_bad_geometry(tmp_path):
 
 def test_exported_tvae_vq(tmp_path):
     """VQ TVAE export (loss-based codebook, decay 0): encode bakes in
-    nearest-code quantization; EMA-codebook configs are rejected upfront."""
+    nearest-code quantization; EMA-codebook configs need the vq_ema
+    collection (rejected upfront without it, exported fine with it)."""
     from vqgan_tpu.config import TVAEConfig
     from vqgan_tpu.export import ExportedTVAE, export_tvae
     from vqgan_tpu.models.tae import TVAE
@@ -185,8 +186,23 @@ def test_exported_tvae_vq(tmp_path):
     assert float(dists.min(axis=1).max()) < 1e-9  # every vector is a code
     import dataclasses
 
-    with pytest.raises(ValueError, match="vq_ema_decay"):
+    ema_cfg = dataclasses.replace(cfg, vq_ema_decay=0.99)
+    with pytest.raises(ValueError, match="vq_ema"):
         export_tvae(
-            dataclasses.replace(cfg, vq_ema_decay=0.99), params,
-            str(tmp_path), frames=4, platforms=("cpu",),
+            ema_cfg, params, str(tmp_path), frames=4, platforms=("cpu",)
         )
+    # with the stats collection provided, EMA-VQ exports and quantizes the
+    # same (the codebook lives in params; the train step folds EMA stats in)
+    ema_model = TVAE(cfg=ema_cfg)
+    variables = ema_model.init(
+        {"params": rng, "sample": rng}, jnp.zeros((1, 4, 16, 16, 3))
+    )
+    ema_params = dict(variables["params"])
+    ema_params["reg"] = {"codebook": params["reg"]["codebook"]}
+    ema_dir = str(tmp_path / "ema")
+    export_tvae(
+        ema_cfg, ema_params, ema_dir, frames=4, platforms=("cpu",),
+        vq_ema=variables["vq_ema"],
+    )
+    z_ema = ExportedTVAE.load(ema_dir).encode(clips)
+    np.testing.assert_allclose(np.asarray(z_ema), np.asarray(z), atol=2e-5)

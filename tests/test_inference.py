@@ -114,3 +114,49 @@ def test_tvae_pipeline_matches_export(tmp_path):
     # single-clip (T,H,W,3) input is auto-batched
     one = pipe.reconstruct(clips[0])
     np.testing.assert_allclose(one[0], recon_pipe[0], atol=1e-6)
+
+
+def test_tvae_pipeline_vq_ema(tmp_path):
+    """TVAEPipeline with an EMA-codebook VQ model: requires the vq_ema
+    collection (clear error without it), quantizes identically to the
+    decay-0 module with the same codebook."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from vqgan_tpu.config import TVAEConfig
+    from vqgan_tpu.inference import TVAEPipeline
+    from vqgan_tpu.models.tae import TVAE
+
+    cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", reg_type="vq", vq_codebook_size=32,
+        vq_ema_decay=0.9,
+    )
+    model = TVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(11)
+    variables = model.init(
+        {"params": rng, "sample": rng}, jnp.zeros((1, 4, 16, 16, 3))
+    )
+    with pytest.raises(ValueError, match="vq_ema"):
+        TVAEPipeline(cfg, variables["params"])
+    pipe = TVAEPipeline(
+        cfg, variables["params"], vq_ema=variables["vq_ema"]
+    )
+    clips = (np.random.RandomState(11).rand(1, 4, 16, 16, 3) * 255).astype(
+        np.uint8
+    )
+    z = pipe.encode(clips)
+    codebook = np.asarray(variables["params"]["reg"]["codebook"])
+    dists = (
+        (np.asarray(z).reshape(-1, 8)[:, None, :] - codebook[None]) ** 2
+    ).sum(-1)
+    assert float(dists.min(axis=1).max()) < 1e-9  # every vector is a code
+    # decay-0 module with the same weights quantizes identically
+    pipe0 = TVAEPipeline(
+        dataclasses.replace(cfg, vq_ema_decay=0.0), variables["params"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(pipe0.encode(clips)), np.asarray(z), atol=2e-5
+    )

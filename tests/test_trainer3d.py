@@ -35,8 +35,12 @@ def test_trainer3d_learns(tmp_path):
     src = synthetic_video_batches(8, 4, 16, seed=42)
     for i in range(10):
         batch = jax.device_put(next(src), trainer.batch_shard)
-        trainer.params, trainer.opt_state, trainer.rng, metrics = trainer._step(
-            trainer.params, trainer.opt_state, batch, trainer.rng
+        (
+            trainer.params, trainer.opt_state, trainer.rng,
+            trainer.vq_ema, metrics,
+        ) = trainer._step(
+            trainer.params, trainer.opt_state, batch, trainer.rng,
+            trainer.vq_ema,
         )
         losses.append(float(metrics["recon_l2"]))
     assert all(np.isfinite(losses))
@@ -66,8 +70,12 @@ def test_trainer3d_context_ring_attention(tmp_path):
     src = synthetic_video_batches(4, 8, 16, seed=7)
     batch = jax.device_put(next(src), trainer.batch_shard)
     for _ in range(2):
-        trainer.params, trainer.opt_state, trainer.rng, metrics = trainer._step(
-            trainer.params, trainer.opt_state, batch, trainer.rng
+        (
+            trainer.params, trainer.opt_state, trainer.rng,
+            trainer.vq_ema, metrics,
+        ) = trainer._step(
+            trainer.params, trainer.opt_state, batch, trainer.rng,
+            trainer.vq_ema,
         )
     assert np.isfinite(float(metrics["loss"]))
     # eval must also run on the ring/context mesh (shard_map inside jit)
@@ -361,8 +369,86 @@ def test_trainer3d_grad_accum_plain(tmp_path):
     )
     src = synthetic_video_batches(16, 4, 16, seed=3)
     batch = jax.device_put(next(src), t.batch_shard)
-    t.params, t.opt_state, t.rng, metrics = t._step(
-        t.params, t.opt_state, batch, t.rng
+    t.params, t.opt_state, t.rng, t.vq_ema, metrics = t._step(
+        t.params, t.opt_state, batch, t.rng, t.vq_ema
     )
     vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
     assert np.isfinite(vals["loss"]) and np.isfinite(vals["recon_l2"])
+
+
+def test_trainer3d_vq_ema_plain(tmp_path):
+    """EMA-codebook VQ on the recon-only 3D path: the quantizer's stats
+    collection threads through the step functionally (train/trainer3d.py::
+    make_train_step_3d, mirroring train/step.py), the codebook is
+    overwritten by the EMA fold every step, and resume restores the stats."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", reg_type="vq", vq_codebook_size=32,
+        vq_ema_decay=0.9, vq_revive_threshold=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_steps=2, run_name="t3dvqema", use_wandb=False,
+        ckpt_dir=str(tmp_path), log_every=100, evaluate_every_n_steps=2,
+        eval_batches=1, synthetic_data=True,
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=4)
+    assert trainer.vq_ema is not None
+    cb0 = np.asarray(jax.device_get(trainer.params["reg"]["codebook"]))
+    counts0 = np.asarray(jax.device_get(trainer.vq_ema["reg"]["counts"]))
+    trainer.train()
+    cb1 = np.asarray(jax.device_get(trainer.params["reg"]["codebook"]))
+    counts1 = np.asarray(jax.device_get(trainer.vq_ema["reg"]["counts"]))
+    assert float(np.abs(cb1 - cb0).max()) > 0  # EMA fold moved the codebook
+    assert float(np.abs(counts1 - counts0).max()) > 0  # stats advanced
+    # auto-resume restores the stats collection alongside params
+    t2 = Trainer3D(cfg, tvae_cfg, frames=4)
+    assert t2.start_step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(t2.vq_ema["reg"]["counts"])), counts1
+    )
+
+
+def test_trainer3d_gan_vq_ema(tmp_path):
+    """EMA-codebook VQ composes with the full video GAN stack AND grad
+    accumulation (train/step3d.py): the stats ride the TrainState, the fold
+    lands in g_params, dead-code revival reseeds unused codes, and the
+    Polyak EMA tracks the post-fold codebook."""
+    import jax
+
+    tvae_cfg = TVAEConfig(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", reg_type="vq", vq_codebook_size=32,
+        vq_ema_decay=0.9, vq_revive_threshold=0.5,
+    )
+    cfg = TrainConfig(
+        batch_size=16, max_steps=2, run_name="t3dganvqema", use_wandb=False,
+        ckpt_dir=str(tmp_path), log_every=100, do_ganloss=True,
+        use_lecam=True, grad_accum=2, ema_decay=0.99, video_loss_frames=2,
+        evaluate_every_n_steps=0, eval_batches=0, synthetic_data=True,
+    )
+    trainer = Trainer3D(cfg, tvae_cfg, frames=4)
+    assert trainer.state.vq_ema is not None
+    cb0 = np.asarray(jax.device_get(trainer.state.g_params["reg"]["codebook"]))
+    counts0 = np.asarray(
+        jax.device_get(trainer.state.vq_ema["reg"]["counts"])
+    )
+    src = synthetic_video_batches(16, 4, 16, seed=5)
+    for _ in range(2):
+        batch = jax.device_put(next(src), trainer.batch_shard)
+        trainer.state, metrics = trainer._step(
+            trainer.state, batch, trainer.lpips_params
+        )
+    vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert np.isfinite(vals["overall_vae_loss"])
+    assert np.isfinite(vals["gan/discriminator_loss"])
+    cb1 = np.asarray(jax.device_get(trainer.state.g_params["reg"]["codebook"]))
+    counts1 = np.asarray(
+        jax.device_get(trainer.state.vq_ema["reg"]["counts"])
+    )
+    assert float(np.abs(cb1 - cb0).max()) > 0
+    assert float(np.abs(counts1 - counts0).max()) > 0
+    # Polyak EMA tracks the post-fold codebook
+    ema_cb = np.asarray(jax.device_get(trainer.state.g_ema["reg"]["codebook"]))
+    assert float(np.abs(ema_cb - cb0).max()) > 0

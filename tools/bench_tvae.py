@@ -65,8 +65,12 @@ def main():
         b = jax.device_put(next(src), trainer.batch_shard)
 
         def one_step():
-            trainer.params, trainer.opt_state, trainer.rng, m = trainer._step(
-                trainer.params, trainer.opt_state, b, trainer.rng
+            (
+                trainer.params, trainer.opt_state, trainer.rng,
+                trainer.vq_ema, m,
+            ) = trainer._step(
+                trainer.params, trainer.opt_state, b, trainer.rng,
+                trainer.vq_ema,
             )
             return m
 

@@ -206,6 +206,14 @@ def train(**kw):
 @click.option("--vae_resolution", type=int, default=64)
 @click.option("--frames", type=int, default=8, help="Clip length T")
 @click.option("--reg_type", type=str, default="gaussian", help="gaussian | vq")
+@click.option("--vq_codebook_size", type=int, default=16384,
+              help="VQ codebook size (reg_type=vq)")
+@click.option("--vq_ema_decay", type=float, default=0.99,
+              help="EMA codebook update decay (reg_type=vq; 0 = loss-based "
+                   "codebook training)")
+@click.option("--vq_revive_threshold", type=float, default=0.0,
+              help="Reseed codes with EMA count below this from batch "
+                   "latents (0=off)")
 @click.option("--remat", type=bool, default=False,
               help="Level+block rematerialization (memory for long clips)")
 @click.option("--remat_policy", type=str, default="full",
@@ -273,7 +281,9 @@ def train3d(**kw):
         num_res_blocks=kw["vae_num_res_blocks"],
         z_channels=kw["vae_z_channels"],
         reg_type=kw["reg_type"],
-        vq_ema_decay=0.0,  # loss-based VQ in the 3D trainer
+        vq_codebook_size=kw["vq_codebook_size"],
+        vq_ema_decay=kw["vq_ema_decay"],
+        vq_revive_threshold=kw["vq_revive_threshold"],
         remat=kw["remat"],
         remat_policy=kw["remat_policy"],
         conv3d_impl=kw["conv3d_impl"],

@@ -116,6 +116,9 @@ class TVAEConfig:
     vq_codebook_size: int = 16384
     vq_beta: float = 0.25
     vq_ema_decay: float = 0.99
+    # reseed codes whose EMA count falls below this from batch latents
+    # (0 = off) — same dead-code revival as the 2D family (models/quant.py)
+    vq_revive_threshold: float = 0.0
     compute_dtype: str = "bfloat16"
     # nested level+block rematerialization (the 2D family's memory scaling
     # strategy, models/ae.py): for the HBM-bound 3D step it is also a

@@ -146,6 +146,7 @@ def export_tvae(
     *,
     frames: int,
     platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+    vq_ema=None,
 ) -> None:
     """Write a serving artifact for the 3D video VAE (``TVAE(cfg)``).
 
@@ -168,14 +169,17 @@ def export_tvae(
         cfg = dataclasses.replace(
             cfg, conv3d_impl="direct", upsample_impl="direct"
         )
-    if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0:
+    if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0 and vq_ema is None:
         raise ValueError(
-            "exporting a VQ TVAE requires vq_ema_decay=0 (serving reads the "
-            "codebook purely from params; re-instantiate the config — the "
-            "train3d CLI already uses loss-based VQ with decay 0)"
+            "exporting an EMA-codebook VQ TVAE requires the train state's "
+            "vq_ema collection (pass vq_ema=state.vq_ema) — serving reads "
+            "the codebook from params (the train step folds the EMA stats "
+            "in every step) but the module declares the stats variables"
         )
     model = TVAE(cfg=cfg)
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    if vq_ema is not None:
+        variables["vq_ema"] = jax.tree_util.tree_map(jnp.asarray, vq_ema)
 
     def encode_fn(x):
         z = model.apply(variables, x, method=model.encode)

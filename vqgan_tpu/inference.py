@@ -163,22 +163,36 @@ class TVAEPipeline:
     completes the family's train → eval → export → inference surface).
     Latents use TVAE.deterministic_latent (posterior mean / quantized)."""
 
-    def __init__(self, cfg, params):
+    def __init__(self, cfg, params, vq_ema=None):
         from vqgan_tpu.models.tae import TVAE
 
+        if cfg.reg_type == "vq" and cfg.vq_ema_decay > 0 and vq_ema is None:
+            raise ValueError(
+                "an EMA-codebook VQ TVAE needs the train state's vq_ema "
+                "collection (pass vq_ema=state.vq_ema)"
+            )
         self.cfg = cfg
         self.model = TVAE(cfg=cfg)
         self.params = params
+        self.vq_ema = vq_ema
+
+        def _vars(p):
+            return (
+                {"params": p, "vq_ema": vq_ema}
+                if vq_ema is not None
+                else {"params": p}
+            )
+
         self._encode = jax.jit(
             lambda p, x: self.model.apply(
-                {"params": p},
-                self.model.apply({"params": p}, x, method=self.model.encode),
+                _vars(p),
+                self.model.apply(_vars(p), x, method=self.model.encode),
                 method=self.model.deterministic_latent,
             )
         )
         self._decode = jax.jit(
             lambda p, z: self.model.apply(
-                {"params": p}, z, method=self.model.decode
+                _vars(p), z, method=self.model.decode
             )
         )
 

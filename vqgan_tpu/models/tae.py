@@ -790,6 +790,16 @@ class TVAE(nn.Module):
     def decode(self, z):
         return self.decoder(z)
 
+    def regularize(self, z: jax.Array, update_stats: bool = False):
+        """Returns z_s for gaussian; (z_q, vq_aux) for VQ — the same surface
+        as VAE.regularize (models/ae.py) so train/step3d.py can share the 2D
+        step's EMA-codebook machinery. ``update_stats`` (VQ only) controls
+        the EMA statistic writes — pass True in the train step (with the
+        "vq_ema" collection mutable), False for eval applies."""
+        if isinstance(self.reg, VectorQuantizer):
+            return self.reg(z, update_stats)
+        return self.reg(z)
+
     def deterministic_latent(self, z):
         """Deterministic serving/eval latent from the encoder output: the
         posterior mean for the gaussian regularizer, the quantized embedding
@@ -798,12 +808,12 @@ class TVAE(nn.Module):
         if self.cfg.reg_type == "gaussian":
             mean, _ = jnp.split(z.astype(jnp.float32), 2, axis=-1)
             return mean.astype(z.dtype)
-        out = self.reg(z)
+        out = self.regularize(z, update_stats=False)
         return out[0] if isinstance(out, tuple) else out
 
     def __call__(self, x: jax.Array):
         z = self.encoder(x)
-        z_s = self.reg(z)
+        z_s = self.regularize(z, update_stats=False)
         if isinstance(z_s, tuple):
             z_s = z_s[0]
         dec = self.decoder(z_s)

@@ -79,12 +79,11 @@ def make_train_step_3d_gan(
     gn_shards = (
         gradnorm_shards if cfg.gradnorm_mode == "mean_shard_norm" else 1
     )
+    use_vq_ema = tvae_cfg.reg_type == "vq" and tvae_cfg.vq_ema_decay > 0
 
-    def gen_forward(g_params, batch, rng_sample):
-        """clip (B,T,H,W,3) → (recon, reg_loss). Gaussian: reparameterized
-        sample + KL (tae.py:253-266 semantics, KL replacing the 2D z²
-        penalty); VQ: quantized latent + codebook loss."""
-        z = model.apply({"params": g_params}, batch, method=model.encode)
+    def regularize(g_params, vq_ema, z, rng_sample):
+        """→ (z_s, reg_loss, new_vq_ema or None) — the 2D step's EMA-codebook
+        machinery (train/step.py::regularize) on TVAE.regularize."""
         if tvae_cfg.reg_type == "gaussian":
             mean, logvar = jnp.split(z.astype(jnp.float32), 2, axis=-1)
             logvar = jnp.clip(logvar, min=-3.0)  # tae.py:262
@@ -92,14 +91,35 @@ def make_train_step_3d_gan(
             eps = jax.random.normal(rng_sample, mean.shape)
             z_s = (mean + std * eps).astype(z.dtype)
             reg = 0.5 * jnp.mean(mean**2 + jnp.exp(logvar) - 1.0 - logvar)
-        else:
-            out = model.apply(
-                {"params": g_params}, z, method=lambda m, zz: m.reg(zz)
+            return z_s, reg, None
+        if use_vq_ema:
+            (z_q, aux), new_vars = model.apply(
+                {"params": g_params, "vq_ema": vq_ema},
+                z,
+                True,  # update_stats
+                method=model.regularize,
+                mutable=["vq_ema"],
             )
-            z_s, aux = out if isinstance(out, tuple) else (out, None)
-            reg = aux["vq_loss"] if aux else jnp.mean(jnp.square(z))
+            return (
+                z_q,
+                aux["vq_loss"],
+                jax.lax.stop_gradient(new_vars["vq_ema"]),
+            )
+        z_q, aux = model.apply(
+            {"params": g_params}, z, method=model.regularize
+        )
+        return z_q, aux["vq_loss"], None
+
+    def gen_forward(g_params, vq_ema, batch, rng_sample):
+        """clip (B,T,H,W,3) → (recon, reg_loss, z, new_ema). Gaussian:
+        reparameterized sample + KL (tae.py:253-266 semantics, KL replacing
+        the 2D z² penalty); VQ: quantized latent + codebook loss (EMA stats
+        threaded functionally, folded into the codebook in the step tail).
+        ``z`` (pre-regularizer latent) feeds dead-code revival sampling."""
+        z = model.apply({"params": g_params}, batch, method=model.encode)
+        z_s, reg, new_ema = regularize(g_params, vq_ema, z, rng_sample)
         recon = model.apply({"params": g_params}, z_s, method=model.decode)
-        return recon, reg
+        return recon, reg, jax.lax.stop_gradient(z), new_ema
 
     def disc_apply(d_params, frames):
         return disc_model.apply({"params": d_params}, frames)
@@ -145,16 +165,43 @@ def make_train_step_3d_gan(
         metrics["loss"] = total
         return total, metrics
 
+    def _fold_vq_ema(g_params, new_ema, z_for_revive, revive_key):
+        """Overwrite the codebook with the EMA statistics (the codebook
+        receives no gradient in EMA mode) + optional dead-code revival —
+        same tail as the 2D step (train/step.py::_finish)."""
+        if not use_vq_ema:
+            return g_params
+        from vqgan_tpu.models.quant import (
+            apply_ema_codebook_update,
+            revive_dead_codes,
+        )
+
+        new_cb = apply_ema_codebook_update(
+            {"codebook": g_params["reg"]["codebook"]}, new_ema["reg"]
+        )["codebook"]
+        if tvae_cfg.vq_revive_threshold > 0:
+            flat_z = z_for_revive.astype(jnp.float32)
+            flat_z = flat_z.reshape(-1, flat_z.shape[-1])
+            new_cb = revive_dead_codes(
+                new_cb,
+                new_ema["reg"]["counts"],
+                flat_z,
+                revive_key,
+                threshold=tvae_cfg.vq_revive_threshold,
+            )
+        return {**g_params, "reg": {**g_params["reg"], "codebook": new_cb}}
+
     def step(
         state: TrainState, batch: jax.Array, lpips_params
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, new_rng = jax.random.split(state.rng)
-        k_sample, k_frames = jax.random.split(rng)
+        k_sample, k_frames, k_revive = jax.random.split(rng, 3)
         batch = batch.astype(jnp.float32)
 
         # --- shared generator forward (one fwd, one bwd total) ---
-        (recon, reg_loss), gen_vjp = jax.vjp(
-            lambda p: gen_forward(p, batch, k_sample), state.g_params
+        (recon, reg_loss, z_lat, new_ema), gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, state.vq_ema, batch, k_sample),
+            state.g_params,
         )
         metrics = {}
 
@@ -217,14 +264,22 @@ def make_train_step_3d_gan(
             has_aux=True,
         )
         d_recon, d_reg = g_pullback(jnp.ones((), g_total.dtype))
-        (g_grads,) = gen_vjp((d_recon, d_reg))
+        (g_grads,) = gen_vjp(
+            (
+                d_recon,
+                d_reg,
+                jnp.zeros_like(z_lat),
+                jax.tree_util.tree_map(jnp.zeros_like, new_ema),
+            )
+        )
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+        g_params = _fold_vq_ema(g_params, new_ema, z_lat, k_revive)
         metrics.update(g_metrics)
 
         if cfg.ema_decay > 0:
             # Polyak average of the generator weights (same semantics as the
-            # 2D step, train/step.py)
+            # 2D step, train/step.py); tracks the post-fold codebook
             g_ema = jax.tree_util.tree_map(
                 lambda e, p: cfg.ema_decay * e
                 + (1.0 - cfg.ema_decay) * p.astype(e.dtype),
@@ -243,7 +298,7 @@ def make_train_step_3d_gan(
             lecam_real=lecam_real,
             lecam_fake=lecam_fake,
             rng=new_rng,
-            vq_ema=state.vq_ema,
+            vq_ema=new_ema,
             g_ema=g_ema,
         )
         return new_state, metrics
@@ -268,7 +323,7 @@ def make_train_step_3d_gan(
         state: TrainState, batch: jax.Array, lpips_params
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, new_rng = jax.random.split(state.rng)
-        k_sample, k_frames = jax.random.split(rng)
+        k_sample, k_frames, k_revive = jax.random.split(rng, 3)
         b = batch.shape[0]
         if b % accum:
             raise ValueError(f"batch {b} not divisible by grad_accum {accum}")
@@ -284,8 +339,9 @@ def make_train_step_3d_gan(
             def d_scan(carry, xs):
                 d_acc, lr, lf = carry
                 i, xb = xs
-                recon, _ = gen_forward(
-                    state.g_params, xb, jax.random.fold_in(k_sample, i)
+                recon, _, _, _ = gen_forward(
+                    state.g_params, state.vq_ema, xb,
+                    jax.random.fold_in(k_sample, i),
                 )
                 recon_f, target_f = _frame_subset(
                     k_frames,
@@ -343,10 +399,13 @@ def make_train_step_3d_gan(
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, d_updates)
 
-        def g_scan(g_acc, xs):
+        def g_scan(carry, xs):
+            g_acc, vq_ema_c = carry
             i, xb = xs
-            (recon, reg_loss), gen_vjp = jax.vjp(
-                lambda p: gen_forward(p, xb, jax.random.fold_in(k_sample, i)),
+            (recon, reg_loss, z_lat, new_ema), gen_vjp = jax.vjp(
+                lambda p: gen_forward(
+                    p, vq_ema_c, xb, jax.random.fold_in(k_sample, i)
+                ),
                 state.g_params,
             )
             g_total, g_pullback, g_metrics = jax.vjp(
@@ -357,20 +416,29 @@ def make_train_step_3d_gan(
                 has_aux=True,
             )
             d_recon, d_reg = g_pullback(jnp.ones((), g_total.dtype))
-            (g_g,) = gen_vjp((d_recon, d_reg))
+            (g_g,) = gen_vjp(
+                (
+                    d_recon,
+                    d_reg,
+                    jnp.zeros_like(z_lat),
+                    jax.tree_util.tree_map(jnp.zeros_like, new_ema),
+                )
+            )
             g_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g / accum, g_acc, g_g
             )
-            return g_acc, g_metrics
+            # keep one microbatch's latents for dead-code revival sampling
+            return (g_acc, new_ema), (g_metrics, z_lat)
 
-        g_grads, g_outs = jax.lax.scan(
-            g_scan, zeros_g, (jnp.arange(accum), mbatch)
+        (g_grads, new_ema), (g_outs, z_all) = jax.lax.scan(
+            g_scan, (zeros_g, state.vq_ema), (jnp.arange(accum), mbatch)
         )
         metrics = {k: v.mean() for k, v in g_outs.items()}
         metrics.update(d_metrics_mean)
 
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+        g_params = _fold_vq_ema(g_params, new_ema, z_all, k_revive)
         if cfg.ema_decay > 0:
             g_ema = jax.tree_util.tree_map(
                 lambda e, p: cfg.ema_decay * e
@@ -390,7 +458,7 @@ def make_train_step_3d_gan(
             lecam_real=lecam_real,
             lecam_fake=lecam_fake,
             rng=new_rng,
-            vq_ema=state.vq_ema,
+            vq_ema=new_ema,
             g_ema=g_ema,
         )
         return new_state, metrics

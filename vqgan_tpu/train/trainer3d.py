@@ -48,9 +48,11 @@ def synthetic_video_batches(
 
 def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
     kl_weight = cfg.z_reg_weight
+    use_vq_ema = tvae_cfg.reg_type == "vq" and tvae_cfg.vq_ema_decay > 0
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, vq_ema, batch, rng):
         z = model.apply({"params": params}, batch, method=model.encode)
+        new_ema = vq_ema
         if tvae_cfg.reg_type == "gaussian":
             mean, logvar = jnp.split(z.astype(jnp.float32), 2, axis=-1)
             logvar = jnp.clip(logvar, min=-3.0)  # tae.py:262
@@ -59,18 +61,39 @@ def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
             z_s = (mean + std * eps).astype(z.dtype)
             # KL(q||N(0,1)) per element
             kl = 0.5 * jnp.mean(mean**2 + jnp.exp(logvar) - 1.0 - logvar)
-        else:
-            out = model.apply(
-                {"params": params}, z, method=lambda m, zz: m.reg(zz)
+        elif use_vq_ema:
+            (z_s, aux), new_vars = model.apply(
+                {"params": params, "vq_ema": vq_ema},
+                z,
+                True,  # update_stats
+                method=model.regularize,
+                mutable=["vq_ema"],
             )
-            z_s, aux = out if isinstance(out, tuple) else (out, None)
-            kl = aux["vq_loss"] if aux else jnp.mean(jnp.square(z))
+            kl = aux["vq_loss"]
+            new_ema = jax.lax.stop_gradient(new_vars["vq_ema"])
+        else:
+            z_s, aux = model.apply(
+                {"params": params}, z, method=model.regularize
+            )
+            kl = aux["vq_loss"]
         recon = model.apply({"params": params}, z_s, method=model.decode)
         rec = jnp.mean(jnp.square(recon.astype(jnp.float32) - batch))
         total = rec + kl_weight * kl
-        return total, {"recon_l2": rec, "kl": kl, "loss": total}
+        return total, ({"recon_l2": rec, "kl": kl, "loss": total}, new_ema)
 
-    def step(params, opt_state, batch, rng):
+    def _fold(params, new_ema):
+        """EMA-codebook fold (the codebook receives no gradient in EMA
+        mode) — same tail as train/step3d.py / train/step.py."""
+        if not use_vq_ema:
+            return params
+        from vqgan_tpu.models.quant import apply_ema_codebook_update
+
+        new_cb = apply_ema_codebook_update(
+            {"codebook": params["reg"]["codebook"]}, new_ema["reg"]
+        )["codebook"]
+        return {**params, "reg": {**params["reg"], "codebook": new_cb}}
+
+    def step(params, opt_state, batch, rng, vq_ema):
         rng, sub = jax.random.split(rng)
         if cfg.grad_accum > 1:
             # microbatch scan: the effective clip batch exceeds HBM
@@ -83,31 +106,36 @@ def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
                 )
             mbatch = batch.reshape(accum, b // accum, *batch.shape[1:])
 
-            def scan_fn(g_acc, xs):
+            def scan_fn(carry, xs):
+                g_acc, ema_c = carry
                 i, xb = xs
-                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, xb, jax.random.fold_in(sub, i)
-                )
+                (_, (m, ema_c)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, ema_c, xb, jax.random.fold_in(sub, i))
                 return (
-                    jax.tree_util.tree_map(
-                        lambda a, gg: a + gg / accum, g_acc, g
+                    (
+                        jax.tree_util.tree_map(
+                            lambda a, gg: a + gg / accum, g_acc, g
+                        ),
+                        ema_c,
                     ),
                     m,
                 )
 
-            grads, outs = jax.lax.scan(
+            (grads, vq_ema), outs = jax.lax.scan(
                 scan_fn,
-                jax.tree_util.tree_map(jnp.zeros_like, params),
+                (jax.tree_util.tree_map(jnp.zeros_like, params), vq_ema),
                 (jnp.arange(accum), mbatch),
             )
             metrics = {k: v.mean() for k, v in outs.items()}
         else:
-            (loss, metrics), grads = jax.value_and_grad(
+            (loss, (metrics, vq_ema)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, batch, sub)
+            )(params, vq_ema, batch, sub)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, rng, metrics
+        params = _fold(params, vq_ema)
+        return params, opt_state, rng, vq_ema, metrics
 
     return step
 
@@ -160,7 +188,11 @@ class Trainer3D:
             self.model = TVAE(cfg=tvae_cfg)
         rng = jax.random.PRNGKey(cfg.seed)
         x0 = jnp.zeros((1, frames, tvae_cfg.resolution, tvae_cfg.resolution, 3))
-        self.params = self.model.init({"params": rng, "sample": rng}, x0)["params"]
+        variables = self.model.init({"params": rng, "sample": rng}, x0)
+        self.params = variables["params"]
+        # EMA-codebook VQ: the quantizer's statistics collection, threaded
+        # functionally through the step (train/step.py design)
+        self.vq_ema = variables.get("vq_ema")
         self.use_gan = cfg.do_ganloss
         if self.use_gan:
             # the full 2D loss stack applied per-frame (train/step3d.py):
@@ -185,7 +217,8 @@ class Trainer3D:
                 cfg.lpips_weights, k_lpips, image_size=res
             )
             self.state, g_tx, d_tx = create_train_state(
-                cfg, self.params, d_params, tvae_cfg.ch, k_state
+                cfg, self.params, d_params, tvae_cfg.ch, k_state,
+                vq_ema=self.vq_ema,
             )
             self.state = jax.device_put(self.state, replicated(self.mesh))
             self.lpips_params = jax.device_put(
@@ -206,9 +239,13 @@ class Trainer3D:
             self.opt_state = self.tx.init(self.params)
             self.rng = jax.random.PRNGKey(cfg.seed + 1)
             self.params = jax.device_put(self.params, replicated(self.mesh))
+            if self.vq_ema is not None:
+                self.vq_ema = jax.device_put(
+                    self.vq_ema, replicated(self.mesh)
+                )
             self._step = jax.jit(
                 make_train_step_3d(cfg, tvae_cfg, self.model, self.tx),
-                donate_argnums=(0, 1),
+                donate_argnums=(0, 1, 4),
             )
         self.batch_shard = batch_sharding(self.mesh, ndim=5)
         self.logger = MetricLogger(
@@ -256,6 +293,10 @@ class Trainer3D:
                     )
                     self.rng = jnp.asarray(restored["rng"])
                     self.start_step = int(restored["step"])
+                    if restored.get("vq_ema") is not None:
+                        self.vq_ema = jax.device_put(
+                            restored["vq_ema"], replicated(self.mesh)
+                        )
                 self.logger.info(f"Resumed 3D train state from step {self.start_step}")
 
     @property
@@ -270,17 +311,23 @@ class Trainer3D:
             return self.state.g_ema
         return self._gparams
 
+    @property
+    def _vq_ema(self):
+        """Current VQ EMA-statistics collection (None unless EMA VQ)."""
+        return self.state.vq_ema if self.use_gan else self.vq_ema
+
     def _host_state(self):
         if self.use_gan:
             return jax.device_get(self.state)
-        return jax.device_get(
-            {
-                "params": self.params,
-                "opt_state": self.opt_state,
-                "rng": self.rng,
-                "step": np.asarray(self.start_step),
-            }
-        )
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "rng": self.rng,
+            "step": np.asarray(self.start_step),
+        }
+        if self.vq_ema is not None:
+            state["vq_ema"] = self.vq_ema
+        return jax.device_get(state)
 
     def save(self, step_i: int) -> None:
         self.start_step = step_i
@@ -295,6 +342,7 @@ class Trainer3D:
         if jax.process_index() != 0:
             return
         params = self._eval_params
+        vq_ema = self._vq_ema
         if jax.process_count() > 1:
             if self.mesh.shape.get("context", 1) > 1:
                 # the ring-attention forward carries shard_map collectives
@@ -312,26 +360,33 @@ class Trainer3D:
             # arrays raises. Params are replicated here (3D trainer never
             # shards them), so each rank's first addressable shard IS the
             # full value — evaluate on a host-local copy instead.
-            params = jax.tree_util.tree_map(
+            params, vq_ema = jax.tree_util.tree_map(
                 lambda a: np.asarray(a.addressable_data(0))
                 if hasattr(a, "addressable_data") else np.asarray(a),
-                params,
+                (params, vq_ema),
             )
         if not hasattr(self, "_eval_step"):
             model = self.model
 
             @jax.jit
-            def eval_step(params, x):
-                z = model.apply({"params": params}, x, method=model.encode)
+            def eval_step(params, vq_ema, x):
+                # EMA-VQ models declare the "vq_ema" collection even on the
+                # update_stats=False eval path — provide it when present
+                variables = {"params": params}
+                if vq_ema is not None:
+                    variables["vq_ema"] = vq_ema
+                z = model.apply(variables, x, method=model.encode)
                 z_s = model.apply(
-                    {"params": params}, z, method=model.deterministic_latent
+                    variables, z, method=model.deterministic_latent
                 )
                 return model.apply(
-                    {"params": params}, z_s, method=model.decode
+                    variables, z_s, method=model.decode
                 ).astype(jnp.float32)
 
             self._eval_step = eval_step
-        recon = np.asarray(self._eval_step(params, jnp.asarray(batch)))
+        recon = np.asarray(
+            self._eval_step(params, vq_ema, jnp.asarray(batch))
+        )
         ra = np.clip(recon * 0.5 + 0.5, 0.0, 1.0)
         ta = np.clip(batch * 0.5 + 0.5, 0.0, 1.0)
         try:
@@ -467,8 +522,12 @@ class Trainer3D:
                         self.state, batch, self.lpips_params
                     )
                 else:
-                    self.params, self.opt_state, self.rng, metrics = self._step(
-                        self.params, self.opt_state, batch, self.rng
+                    (
+                        self.params, self.opt_state, self.rng,
+                        self.vq_ema, metrics,
+                    ) = self._step(
+                        self.params, self.opt_state, batch, self.rng,
+                        self.vq_ema,
                     )
                 if step_i % cfg.log_every == 0:
                     vals = {
