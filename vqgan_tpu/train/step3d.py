@@ -42,15 +42,18 @@ from vqgan_tpu.train.state import TrainState
 def _frame_subset(rng, arrays, k: int):
     """Pick ``k`` evenly-strided frames with a traced random phase from each
     (B, T, ...) array. k <= 0 or k >= T keeps all frames. Static k → static
-    shapes; the phase randomizes which frames pay the perceptual/GAN cost
-    across steps so all frames are covered in expectation."""
+    shapes; a continuous random phase u ~ U[0,1) gives
+    idx_i = floor((i + u) * T/k), so EVERY frame index has nonzero selection
+    probability even when T % k != 0 (an integer shift bounded by
+    floor(T/k) provably never reaches some frames, e.g. T=8, k=3 missed
+    frames {4, 7}), indices stay strictly increasing (stride >= 1), and all
+    frames are covered in expectation."""
     t = arrays[0].shape[1]
     if k <= 0 or k >= t:
         return arrays
     stride = t / k
-    base = jnp.floor(jnp.arange(k) * stride).astype(jnp.int32)
-    shift = jax.random.randint(rng, (), 0, max(1, int(stride)))
-    idx = base + shift
+    u = jax.random.uniform(rng, ())
+    idx = jnp.floor((jnp.arange(k) + u) * stride).astype(jnp.int32)
     return tuple(jnp.take(a, idx, axis=1) for a in arrays)
 
 
@@ -120,6 +123,24 @@ def make_train_step_3d_gan(
         z_s, reg, new_ema = regularize(g_params, vq_ema, z, rng_sample)
         recon = model.apply({"params": g_params}, z_s, method=model.decode)
         return recon, reg, jax.lax.stop_gradient(z), new_ema
+
+    def gen_forward_nostats(g_params, vq_ema, batch, rng_sample):
+        """Forward-only recon for the discriminator pass: identical math to
+        gen_forward, but the EMA-VQ quantizer runs with update_stats=False so
+        the per-microbatch code_stats sums are never computed just to be
+        discarded (ADVICE r3 — the stats advance exactly once per
+        microbatch, in the G scan)."""
+        z = model.apply({"params": g_params}, batch, method=model.encode)
+        if tvae_cfg.reg_type == "gaussian" or not use_vq_ema:
+            z_s, _, _ = regularize(g_params, vq_ema, z, rng_sample)
+        else:
+            z_s, _ = model.apply(
+                {"params": g_params, "vq_ema": vq_ema},
+                z,
+                False,  # update_stats
+                method=model.regularize,
+            )
+        return model.apply({"params": g_params}, z_s, method=model.decode)
 
     def disc_apply(d_params, frames):
         return disc_model.apply({"params": d_params}, frames)
@@ -339,7 +360,7 @@ def make_train_step_3d_gan(
             def d_scan(carry, xs):
                 d_acc, lr, lf = carry
                 i, xb = xs
-                recon, _, _, _ = gen_forward(
+                recon = gen_forward_nostats(
                     state.g_params, state.vq_ema, xb,
                     jax.random.fold_in(k_sample, i),
                 )
@@ -427,7 +448,8 @@ def make_train_step_3d_gan(
             g_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g / accum, g_acc, g_g
             )
-            # keep one microbatch's latents for dead-code revival sampling
+            # z_lat stacks across ALL accum microbatches (lax.scan output);
+            # _fold_vq_ema flattens the whole stack for revival sampling
             return (g_acc, new_ema), (g_metrics, z_lat)
 
         (g_grads, new_ema), (g_outs, z_all) = jax.lax.scan(

@@ -462,7 +462,20 @@ class Trainer:
                 self._eval_lpips = _elp
                 from vqgan_tpu.losses.fid import make_feature_fn
 
-                self._eval_feats = make_feature_fn(self.lpips_params["vgg"])
+                self._eval_feats = make_feature_fn(
+                    self.lpips_params["vgg"], taps=self.cfg.rfid_taps
+                )
+                # in-band caveat, once per run: the Fréchet statistic is a
+                # PROXY (VGG taps, not Inception-pool3) and, without
+                # --lpips_weights, runs on a random-init VGG — comparable
+                # across steps of THIS run only (BASELINE.md)
+                self.logger.info(
+                    "eval/rfid_vgg_proxy caveat: Fréchet distance over "
+                    f"VGG taps {tuple(self.cfg.rfid_taps)} "
+                    f"({'pretrained' if self.cfg.lpips_weights else 'random-init'} VGG), "
+                    "not Inception rFID — comparable within this run, not "
+                    "to published rFID numbers"
+                )
             lp_val = float(
                 self._eval_lpips(
                     self.lpips_params,
@@ -486,8 +499,23 @@ class Trainer:
                 },
                 step,
             )
-        except Exception as e:  # metrics must never kill training
-            self.logger.info(f"eval metrics failed: {e}")
+        except Exception:
+            # metrics must never kill training — but a silent drop hides a
+            # regression for the rest of a long run: log the full traceback
+            # and emit a counter metric so the failure is visible in-band
+            # (VERDICT r3 weak-#7)
+            import traceback
+
+            self._eval_metric_failures = (
+                getattr(self, "_eval_metric_failures", 0) + 1
+            )
+            self.logger.info(
+                "eval metrics failed (training continues):\n"
+                + traceback.format_exc()
+            )
+            self.logger.log(
+                {"eval/metrics_failed": self._eval_metric_failures}, step
+            )
         d = 512 if self.vae_cfg.decoder_also_perform_hr else 256
         out_dir = os.path.join(self.cfg.ckpt_dir, self.cfg.run_name, "eval")
         self.logger.log_images(

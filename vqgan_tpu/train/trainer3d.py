@@ -79,22 +79,41 @@ def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
         recon = model.apply({"params": params}, z_s, method=model.decode)
         rec = jnp.mean(jnp.square(recon.astype(jnp.float32) - batch))
         total = rec + kl_weight * kl
-        return total, ({"recon_l2": rec, "kl": kl, "loss": total}, new_ema)
+        # pre-regularizer latents feed dead-code revival sampling in _fold
+        # (stop-gradient: sampling must not backprop into the encoder)
+        z_lat = jax.lax.stop_gradient(z)
+        return total, ({"recon_l2": rec, "kl": kl, "loss": total}, new_ema, z_lat)
 
-    def _fold(params, new_ema):
+    def _fold(params, new_ema, z_for_revive, revive_key):
         """EMA-codebook fold (the codebook receives no gradient in EMA
-        mode) — same tail as train/step3d.py / train/step.py."""
+        mode) + optional dead-code revival — same tail as train/step3d.py /
+        train/step.py. Revival here keeps --vq_revive_threshold honored on
+        recon-only runs too (ADVICE r3: it used to be silently ignored
+        without --do_ganloss)."""
         if not use_vq_ema:
             return params
-        from vqgan_tpu.models.quant import apply_ema_codebook_update
+        from vqgan_tpu.models.quant import (
+            apply_ema_codebook_update,
+            revive_dead_codes,
+        )
 
         new_cb = apply_ema_codebook_update(
             {"codebook": params["reg"]["codebook"]}, new_ema["reg"]
         )["codebook"]
+        if tvae_cfg.vq_revive_threshold > 0:
+            flat_z = z_for_revive.astype(jnp.float32)
+            flat_z = flat_z.reshape(-1, flat_z.shape[-1])
+            new_cb = revive_dead_codes(
+                new_cb,
+                new_ema["reg"]["counts"],
+                flat_z,
+                revive_key,
+                threshold=tvae_cfg.vq_revive_threshold,
+            )
         return {**params, "reg": {**params["reg"], "codebook": new_cb}}
 
     def step(params, opt_state, batch, rng, vq_ema):
-        rng, sub = jax.random.split(rng)
+        rng, sub, k_revive = jax.random.split(rng, 3)
         if cfg.grad_accum > 1:
             # microbatch scan: the effective clip batch exceeds HBM
             # (train/step3d.py has the GAN-path counterpart)
@@ -109,7 +128,7 @@ def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
             def scan_fn(carry, xs):
                 g_acc, ema_c = carry
                 i, xb = xs
-                (_, (m, ema_c)), g = jax.value_and_grad(
+                (_, (m, ema_c, z_lat)), g = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params, ema_c, xb, jax.random.fold_in(sub, i))
                 return (
@@ -119,22 +138,25 @@ def make_train_step_3d(cfg: TrainConfig, tvae_cfg: TVAEConfig, model, tx):
                         ),
                         ema_c,
                     ),
-                    m,
+                    (m, z_lat),
                 )
 
-            (grads, vq_ema), outs = jax.lax.scan(
+            (grads, vq_ema), (outs, z_all) = jax.lax.scan(
                 scan_fn,
                 (jax.tree_util.tree_map(jnp.zeros_like, params), vq_ema),
                 (jnp.arange(accum), mbatch),
             )
             metrics = {k: v.mean() for k, v in outs.items()}
+            z_for_revive = z_all  # all microbatches' latents, stacked
         else:
-            (loss, (metrics, vq_ema)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, vq_ema, batch, sub)
+            (loss, (metrics, vq_ema, z_for_revive)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, vq_ema, batch, sub
+                )
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = _fold(params, vq_ema)
+        params = _fold(params, vq_ema, z_for_revive, k_revive)
         return params, opt_state, rng, vq_ema, metrics
 
     return step
@@ -419,8 +441,22 @@ class Trainer3D:
                     )
                 )
             self.logger.log(vals, step_i)
-        except Exception as e:  # metrics must never kill training
-            self.logger.info(f"3d eval metrics failed: {e}")
+        except Exception:
+            # metrics must never kill training — log the full traceback and
+            # emit a counter metric so a metric-code regression is visible
+            # instead of silently dropping eval/* keys (VERDICT r3 weak-#7)
+            import traceback
+
+            self._eval_metric_failures = (
+                getattr(self, "_eval_metric_failures", 0) + 1
+            )
+            self.logger.info(
+                "3d eval metrics failed (training continues):\n"
+                + traceback.format_exc()
+            )
+            self.logger.log(
+                {"eval/metrics_failed": self._eval_metric_failures}, step_i
+            )
         # frame strip: first clip, up to 4 frames; originals over recons
         k = min(4, ta.shape[1])
         strip = np.concatenate(
