@@ -379,17 +379,18 @@ def test_tvae_conv3d_tap2d_matches_direct(impl):
         )
 
 
-def test_vae_fused_upsample_matches_direct():
-    """upsample_impl="fused" (subpixel phase convs, ops/subpixel.py via
-    blocks.py::SubpixelUpConv) is the same function as the direct
-    nearest-2x + conv3x3 decoder Upsample: identical parameter tree,
-    matching forward and gradients."""
+@pytest.mark.parametrize("impl", ["fused", "dilated"])
+def test_vae_fused_upsample_matches_direct(impl):
+    """upsample_impl="fused" (subpixel phase convs) and "dilated"
+    (lhs-dilated transposed-conv lowering, the round-4 TPU auto default) are
+    the same function as the direct nearest-2x + conv3x3 decoder Upsample:
+    identical parameter tree, matching forward and gradients."""
     import dataclasses
 
     cfg = VAEConfig(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
                     z_channels=8, enc_dtype="float32", dec_dtype="float32")
     direct = VAE(cfg=cfg)
-    fused = VAE(cfg=dataclasses.replace(cfg, upsample_impl="fused"))
+    fused = VAE(cfg=dataclasses.replace(cfg, upsample_impl=impl))
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
     rngs = {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)}
     p0 = direct.init(rngs, x)["params"]
@@ -411,10 +412,11 @@ def test_vae_fused_upsample_matches_direct():
         )
 
 
-def test_tvae_fused_upsample_matches_direct():
-    """3D upsample_impl="fused" (tae.py::SubpixelUpConv3D) matches the
-    direct nearest-2x-3D + Conv3d decoder path: same parameter tree,
-    forward, and gradients."""
+@pytest.mark.parametrize("impl", ["fused", "dilated"])
+def test_tvae_fused_upsample_matches_direct(impl):
+    """3D upsample_impl="fused"/"dilated" (tae.py::SubpixelUpConv3D)
+    matches the direct nearest-2x-3D + Conv3d decoder path: same parameter
+    tree, forward, and gradients."""
     import dataclasses
 
     cfg = TVAEConfig(
@@ -422,7 +424,7 @@ def test_tvae_fused_upsample_matches_direct():
         compute_dtype="float32",
     )
     direct = TVAE(cfg=cfg)
-    fused = TVAE(cfg=dataclasses.replace(cfg, upsample_impl="fused"))
+    fused = TVAE(cfg=dataclasses.replace(cfg, upsample_impl=impl))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
     rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(2)}
     p0 = direct.init(rngs, x)["params"]

@@ -462,3 +462,87 @@ def test_subpixel_upsample_conv3d_matches_direct():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_dilated_upsample_conv2d_matches_direct():
+    """ops/subpixel.py::upsample2x_conv2d_dilated (the lhs-dilated /
+    transposed-conv lowering, round-4 TPU default) == conv3x3_SAME(
+    nearest_2x(x)) — same function, same parameters, including borders and
+    gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.resize import nearest_upsample_2x
+    from vqgan_tpu.ops.subpixel import upsample2x_conv2d_dilated
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 6, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+
+    def direct(xx, kk):
+        return jax.lax.conv_general_dilated(
+            nearest_upsample_2x(xx), kk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(upsample2x_conv2d_dilated(x, k)),
+        np.asarray(direct(x, k)), rtol=1e-5, atol=1e-5,
+    )
+    # gradient parity wrt both kernel and input
+    gk_d, gx_d = jax.grad(
+        lambda kk, xx: jnp.sum(jnp.sin(direct(xx, kk))),
+        argnums=(0, 1),
+    )(k, x)
+    gk_f, gx_f = jax.grad(
+        lambda kk, xx: jnp.sum(jnp.sin(upsample2x_conv2d_dilated(xx, kk))),
+        argnums=(0, 1),
+    )(k, x)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_d), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_d), rtol=2e-4, atol=2e-4)
+
+
+def test_dilated_upsample_conv3d_matches_direct():
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.resize import nearest_upsample_2x_3d
+    from vqgan_tpu.ops.subpixel import upsample2x_conv3d_dilated
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 3, 4, 5, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 3, 4).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        nearest_upsample_2x_3d(x), k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(upsample2x_conv3d_dilated(x, k)),
+        np.asarray(ref), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_dilated_upsample_flop_reduction():
+    """The lhs-dilated lowering must cost no more than the phase-conv form
+    (XLA's TPU/CPU conv cost model skips dilation zeros; measured on-chip it
+    is also 12-29% faster fwd+bwd, BASELINE.md round 4)."""
+    import jax.numpy as jnp
+
+    from vqgan_tpu.ops.subpixel import (
+        upsample2x_conv2d,
+        upsample2x_conv2d_dilated,
+        upsample2x_conv3d,
+        upsample2x_conv3d_dilated,
+    )
+
+    rng = np.random.RandomState(2)
+    x2 = jnp.asarray(rng.randn(2, 32, 32, 64).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32))
+    assert _compiled_flops(upsample2x_conv2d_dilated, x2, k2) <= 1.01 * (
+        _compiled_flops(upsample2x_conv2d, x2, k2)
+    )
+    x3 = jnp.asarray(rng.randn(1, 8, 16, 16, 32).astype(np.float32))
+    k3 = jnp.asarray(rng.randn(3, 3, 3, 32, 32).astype(np.float32))
+    assert _compiled_flops(upsample2x_conv3d_dilated, x3, k3) <= 1.01 * (
+        _compiled_flops(upsample2x_conv3d, x3, k3)
+    )

@@ -79,9 +79,12 @@ class VAEConfig:
     # then 3x3-convs it (the reference's form, ae.py:157-167); "fused"
     # computes the identical function as subpixel phase convs
     # (ops/subpixel.py — no 4x activation write, 4 MACs/output px vs 9);
-    # "auto" = fused on TPU, direct elsewhere. MEASURED (BASELINE.md round
-    # 3): fused moves the flagship 256px GAN bench 13.04 -> 13.67 img/s/chip
-    # (-9.8% step FLOPs, identical math) — default auto.
+    # "dilated" computes it as ONE lhs-dilated conv (stride-2
+    # transposed-conv form — same 4/9 MACs, output written directly, no
+    # phase-interleave pass); "auto" = dilated on TPU, direct elsewhere.
+    # MEASURED: fused moved the flagship 256px GAN bench 13.04 -> 13.67
+    # img/s/chip (round 3); dilated is another 12-29% faster fwd+bwd at the
+    # three flagship upsample shapes (BASELINE.md round 4) — default auto.
     upsample_impl: str = "auto"
 
     @property

@@ -257,16 +257,23 @@ class Downsample(nn.Module):
 class SubpixelUpConv(nn.Module):
     """Parameter-compatible fused form of nearest-2× + 3×3 conv: same
     ``kernel``/``bias`` tensors as the ``nn.Conv`` it replaces (checkpoint /
-    torch-import parity), computed as 4 subpixel phase convs in one wide 2×2
-    conv (ops/subpixel.py) — never materializes the 4× upsampled activation
-    and does 4 MACs per output pixel instead of 9."""
+    torch-import parity), with two exact lowerings (ops/subpixel.py):
+    ``variant="subpixel"`` — 4 phase convs in one wide 2×2 conv + interleave;
+    ``variant="dilated"`` — one lhs-dilated conv (stride-2 transposed-conv
+    form), output written directly with no interleave pass. Both do 4 MACs
+    per output pixel instead of 9 and never materialize the 4× upsampled
+    activation."""
 
     features: int
     dtype: Dtype = jnp.float32
+    variant: str = "subpixel"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from vqgan_tpu.ops.subpixel import upsample2x_conv2d
+        from vqgan_tpu.ops.subpixel import (
+            upsample2x_conv2d,
+            upsample2x_conv2d_dilated,
+        )
 
         kernel = self.param(
             "kernel", torch_conv_kernel_init,
@@ -275,14 +282,21 @@ class SubpixelUpConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        out = upsample2x_conv2d(x.astype(self.dtype), kernel.astype(self.dtype))
+        fn = (
+            upsample2x_conv2d_dilated
+            if self.variant == "dilated"
+            else upsample2x_conv2d
+        )
+        out = fn(x.astype(self.dtype), kernel.astype(self.dtype))
         return out + bias.astype(out.dtype)
 
 
 class Upsample(nn.Module):
     """Nearest 2× then 3×3 conv (reference ae.py:157-167). ``impl="fused"``
     computes the identical function as subpixel phase convs without writing
-    the upsampled tensor (SubpixelUpConv)."""
+    the upsampled tensor; ``impl="dilated"`` as one lhs-dilated conv (the
+    TPU-preferred lowering — measured fastest, BASELINE.md round 4);
+    ``impl="auto"`` = dilated on TPU, direct elsewhere."""
 
     dtype: Dtype = jnp.float32
     impl: str = "direct"
@@ -292,10 +306,12 @@ class Upsample(nn.Module):
         c = x.shape[-1]
         impl = self.impl
         if impl == "auto":
-            impl = "fused" if jax.default_backend() == "tpu" else "direct"
-        if impl == "fused":
+            impl = "dilated" if jax.default_backend() == "tpu" else "direct"
+        if impl in ("fused", "dilated"):
+            variant = "dilated" if impl == "dilated" else "subpixel"
             return tag_saveable(
-                SubpixelUpConv(c, self.dtype, name="conv")(x), "vae_conv"
+                SubpixelUpConv(c, self.dtype, variant=variant, name="conv")(x),
+                "vae_conv",
             )
         x = nearest_upsample_2x(x)
         return tag_saveable(conv3x3(c, self.dtype, name="conv")(x), "vae_conv")

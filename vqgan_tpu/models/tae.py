@@ -515,10 +515,14 @@ class SubpixelUpConv3D(nn.Module):
     features: int
     dtype: Dtype
     fan_in: int
+    variant: str = "subpixel"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from vqgan_tpu.ops.subpixel import upsample2x_conv3d
+        from vqgan_tpu.ops.subpixel import (
+            upsample2x_conv3d,
+            upsample2x_conv3d_dilated,
+        )
 
         kernel = self.param(
             "kernel", torch_conv_kernel_init,
@@ -528,7 +532,12 @@ class SubpixelUpConv3D(nn.Module):
             "bias", _torch_bias_init(self.fan_in), (self.features,),
             jnp.float32,
         )
-        out = upsample2x_conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
+        fn = (
+            upsample2x_conv3d_dilated
+            if self.variant == "dilated"
+            else upsample2x_conv3d
+        )
+        out = fn(x.astype(self.dtype), kernel.astype(self.dtype))
         return out + bias.astype(out.dtype)
 
 
@@ -542,9 +551,11 @@ class Upsample3D(nn.Module):
         c = x.shape[-1]
         impl = self.upsample_impl
         if impl == "auto":
-            impl = "fused" if jax.default_backend() == "tpu" else "direct"
-        if impl == "fused":
-            return _tag(SubpixelUpConv3D(c, self.dtype, c * 27, name="conv")(x))
+            impl = "dilated" if jax.default_backend() == "tpu" else "direct"
+        if impl in ("fused", "dilated"):
+            variant = "dilated" if impl == "dilated" else "subpixel"
+            return _tag(SubpixelUpConv3D(
+                c, self.dtype, c * 27, variant=variant, name="conv")(x))
         x = nearest_upsample_2x_3d(x)
         return _tag(conv3d(c, 3, self.dtype, c * 27, name="conv",
                            impl=self.conv3d_impl)(x))
