@@ -259,3 +259,57 @@ def test_fetch_lpips_npz_end_to_end(tmp_path, monkeypatch):
                 jax.tree_util.tree_leaves(d1[head]),
             ):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tubelet_discriminator_identity_init_equals_frame_disc():
+    """TubeletDiscriminator's temporal mixers are identity-initialized, so a
+    fresh tubelet disc computes EXACTLY the per-frame PatchDiscriminator on
+    each frame (same backbone + head params — the backbone tree is shared
+    layout, so --disc_backbone_weights drops in unchanged)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqgan_tpu.losses.discriminator import (
+        PatchDiscriminator,
+        TubeletDiscriminator,
+    )
+
+    b, t, res = 2, 3, 64
+    clip = jax.random.uniform(
+        jax.random.PRNGKey(0), (b, t, res, res, 3), minval=-1, maxval=1
+    )
+    tub = TubeletDiscriminator(dtype=jnp.float32)
+    p_tub = tub.init(jax.random.PRNGKey(1), clip)["params"]
+    # same non-mixer params into the frame disc
+    frame = PatchDiscriminator(dtype=jnp.float32)
+    p_frame = {k: v for k, v in p_tub.items() if not k.startswith("tmix")}
+    out_tub = tub.apply({"params": p_tub}, clip)
+    out_frame = frame.apply(
+        {"params": p_frame}, clip.reshape(b * t, res, res, 3)
+    )
+    assert out_tub.shape == (b, out_frame.shape[1] * t)
+    np.testing.assert_allclose(
+        np.asarray(out_tub),
+        np.asarray(out_frame).reshape(b, -1),
+        rtol=1e-5, atol=1e-5,
+    )
+    # the mixers exist and are trainable: at init every head's FINAL conv is
+    # zero (reference design), which zeroes all upstream grads — perturb the
+    # finals to nonzero first, then the mixers must receive gradient
+    p_live = jax.tree_util.tree_map(lambda a: a, p_tub)
+    for head in ("bc1_conv1", "bc2_conv1", "bc3_conv1", "bc4_conv0", "bc5_conv0"):
+        p_live[head] = dict(
+            p_live[head],
+            kernel=jnp.full_like(p_live[head]["kernel"], 0.01),
+        )
+
+    def loss(p):
+        return jnp.sum(tub.apply({"params": p}, clip) ** 2)
+
+    g = jax.grad(loss)(p_live)
+    gmix = sum(
+        float(jnp.abs(l).sum())
+        for k, v in g.items() if k.startswith("tmix")
+        for l in jax.tree_util.tree_leaves(v)
+    )
+    assert gmix > 0.0

@@ -145,3 +145,134 @@ def test_two_process_full_trainer_fsdp_sharded(tmp_path):
 
     assert _glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))
     assert (run_dir / "orbax").is_dir()
+
+
+def _write_png_tars(tmp_path, n_shards: int, per_shard: int, size: int = 48):
+    """Distinct deterministic PNG tar shards; returns a brace-expanded url."""
+    import io
+    import tarfile
+
+    import numpy as np
+    from PIL import Image
+
+    for s in range(n_shards):
+        with tarfile.open(str(tmp_path / f"{s:05d}.tar"), "w") as tf:
+            for i in range(per_shard):
+                idx = s * per_shard + i
+                img = Image.fromarray(
+                    (np.random.RandomState(idx).rand(size, size, 3) * 255)
+                    .astype(np.uint8)
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(name=f"{idx:06d}.png")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    return str(tmp_path / ("{00000..%05d}.tar" % (n_shards - 1)))
+
+
+def _run_tar_workers(tmp_path, url: str, indexed: bool, run_name: str):
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_tar_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["MP_CKPT_DIR"] = str(tmp_path / "ckpt")
+        env["MP_DATASET"] = url
+        env["MP_INDEXED"] = "1" if indexed else "0"
+        env["MP_RUN_NAME"] = run_name
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker], env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    params, samples = {}, {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, phash = line.split()
+                params[int(pid)] = phash
+            elif line.startswith("SAMPLES "):
+                parts = line.split()
+                samples[int(parts[1])] = set(parts[2].split(","))
+    assert set(params) == {0, 1}, params
+    return params, samples
+
+
+def test_two_process_trainer_tar_streaming(tmp_path):
+    """The real Trainer over REAL tar shards via --dataset_url on a
+    2-process cluster, streaming mode (VERDICT r3 next-#5): per-host shard
+    split (wds.split_by_node semantics, vae_trainer.py:119-140) must give
+    DISJOINT sample consumption, and the cross-process gradient averaging
+    must leave bit-identical final params."""
+    url = _write_png_tars(tmp_path, n_shards=4, per_shard=8)
+    params, samples = _run_tar_workers(tmp_path, url, False, "mp_tar_stream")
+    assert params[0] == params[1], params
+    assert samples[0] and samples[1]
+    assert not (samples[0] & samples[1]), (
+        f"hosts consumed overlapping samples: {samples[0] & samples[1]}"
+    )
+
+
+def test_two_process_trainer_tar_indexed(tmp_path):
+    """Same over the indexed (sample-exact resume) loader: batch slots of
+    the global permuted index split per host — disjoint consumption and
+    identical final params."""
+    url = _write_png_tars(tmp_path, n_shards=4, per_shard=8)
+    params, samples = _run_tar_workers(tmp_path, url, True, "mp_tar_idx")
+    assert params[0] == params[1], params
+    assert samples[0] and samples[1]
+    assert not (samples[0] & samples[1]), (
+        f"hosts consumed overlapping samples: {samples[0] & samples[1]}"
+    )
+
+
+def test_two_process_full_trainer_context_parallel(tmp_path):
+    """The Trainer on a 2-process data=1,context=2 mesh — one image's H dim
+    spans the two hosts (VERDICT r3 weak-#8): each host loads the SAME
+    sample stream (same batch-row block) and feeds its H half
+    (trainer._ctx_feed); rank-0 eval runs on host-local param copies instead
+    of dispatching over the cross-host mesh. Both params hashes must agree
+    and the rank-0 eval/checkpoint artifacts must exist."""
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_trainer_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["MP_CKPT_DIR"] = str(tmp_path)
+        env["MP_MESH"] = "data=1,context=2"
+        env["MP_HOST_DEVICES"] = "1"
+        env["MP_RUN_NAME"] = "mp_ctx"
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker], env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, phash = line.split()
+                results[int(pid)] = phash
+    assert set(results) == {0, 1}, results
+    assert results[0] == results[1], results
+    run_dir = tmp_path / "mp_ctx"
+    import glob as _glob
+
+    assert _glob.glob(str(run_dir / "eval" / "reconstructed_test_images_*.png"))
+    assert _glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))

@@ -546,3 +546,38 @@ def test_dilated_upsample_flop_reduction():
     assert _compiled_flops(upsample2x_conv3d_dilated, x3, k3) <= 1.01 * (
         _compiled_flops(upsample2x_conv3d, x3, k3)
     )
+
+
+def test_subpixel_module_import_inside_trace_is_safe():
+    """Regression (round 4): ops/subpixel.py is imported lazily from inside
+    traced functions (nn.remat regions). Its module-level tap-map constants
+    must be numpy — a jnp.array built during an active trace is a tracer,
+    and caching it in a module global leaked it into every later trace
+    (UnexpectedTracerError when upsample_impl=fused first ran under
+    remat_policy='conv' on the 3D bench)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    for mod in [m for m in sys.modules if m.endswith("ops.subpixel")]:
+        del sys.modules[mod]
+
+    def f(x, k):
+        from vqgan_tpu.ops.subpixel import (
+            upsample2x_conv2d,
+            upsample2x_conv2d_dilated,
+        )
+
+        return (
+            upsample2x_conv2d(x, k).sum()
+            + upsample2x_conv2d_dilated(x, k).sum()
+        )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    # checkpoint retraces f in the backward: a leaked traced constant from
+    # the first (import-time) trace would surface here
+    g = jax.grad(lambda xx: jax.checkpoint(f)(xx, k))(x)
+    assert np.isfinite(np.asarray(g)).all()

@@ -89,8 +89,9 @@ from vqgan_tpu.config import TrainConfig, VAEConfig, parse_ch_mult
               help="auto (Pallas flash on TPU, lax elsewhere) | pallas | lax")
 @click.option("--upsample_impl", type=str, default="auto",
               help="Decoder Upsample blocks: direct (nearest-2x then conv) "
-                   "| fused (identical subpixel phase convs, ops/subpixel.py)"
-                   " | auto (fused on TPU — measured +4.8% on the flagship)")
+                   "| fused (identical subpixel phase convs) | dilated "
+                   "(identical lhs-dilated conv, ops/subpixel.py) | auto "
+                   "(dilated on TPU — flagship 13.0 -> 14.8 img/s/chip)")
 @click.option("--full_bf16", type=bool, default=False, help="Run the encoder in bf16 too (perf mode)")
 @click.option("--gradnorm_mode", type=str, default="global",
               help="global = Frobenius norm of the global cotangent; "
@@ -248,6 +249,10 @@ def train(**kw):
 @click.option("--video_loss_frames", type=int, default=0,
               help="Frames per clip fed to the perceptual/GAN branches "
                    "(strided subset, random phase; 0 = all frames)")
+@click.option("--disc_3d", type=str, default="frame",
+              help="Video discriminator: frame (2D patch disc per frame) | "
+                   "tubelet (spatio-temporal: + identity-init depthwise "
+                   "temporal mixers before the patch heads)")
 @click.option("--ema_decay", type=float, default=0.0,
               help="Polyak EMA of generator weights (GAN path); eval scores "
                    "the averaged weights. 0 = off")
@@ -304,6 +309,7 @@ def train3d(**kw):
         use_lecam=kw["use_lecam"],
         learning_rate_disc=kw["learning_rate_disc"],
         video_loss_frames=kw["video_loss_frames"],
+        disc_3d=kw["disc_3d"],
         ema_decay=kw["ema_decay"],
         grad_accum=kw["grad_accum"],
         max_steps=kw["max_steps"],

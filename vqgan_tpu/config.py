@@ -241,6 +241,13 @@ class TrainConfig:
     # traced random phase, train/step3d.py). 0 = every frame. The L2 branch
     # always sees all frames.
     video_loss_frames: int = 0
+    # video discriminator: "frame" = the 2D PatchDiscriminator on each frame
+    # (reference-style); "tubelet" = TubeletDiscriminator — same VGG backbone
+    # per frame + identity-init depthwise temporal mixers before the patch
+    # heads, so the multi-scale vote also judges short-range motion
+    # coherence (losses/discriminator.py; beyond the reference, which never
+    # trains its video model)
+    disc_3d: str = "frame"
 
     # latent behaviors (vae_trainer.py:561-621)
     do_clamp: bool = False

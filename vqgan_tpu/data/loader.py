@@ -36,6 +36,8 @@ def create_dataloader(
     device_normalize: bool = False,
     indexed: bool = False,
     start_step: int = 0,
+    process_index: int = None,
+    process_count: int = None,
 ):
     """``device_normalize``: emit uint8 batches and let the (trace-time dtype
     branch in the) train/eval step do the /127.5-1 normalization on device —
@@ -47,7 +49,16 @@ def create_dataloader(
     modes; the indexed dataset derives the global batch from the process
     count. Streaming (default) splits shards per host; indexed splits batch
     slots per host over one global index.
+
+    ``process_index`` / ``process_count`` override the per-host split
+    identity (default: this JAX process). Context-parallel multi-host
+    trainers pass their batch-row BLOCK index here so every host in a block
+    reads the same sample stream (parallel/mesh.py::process_batch_block).
     """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
     shards = expand_braces(url)
     if just_resize:
         transform = make_eval_transform(width, as_uint8=device_normalize)
@@ -67,15 +78,15 @@ def create_dataloader(
         return IndexedTarDataset(
             shards,
             transform,
-            global_batch=batch_size * jax.process_count(),
+            global_batch=batch_size * process_count,
             seed=seed,
             start_step=start_step,
             num_workers=num_workers,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
+            process_index=process_index,
+            process_count=process_count,
             do_shuffle=do_shuffle,
         )
-    shards = split_shards(shards, jax.process_index(), jax.process_count())
+    shards = split_shards(shards, process_index, process_count)
     return TarImageStream(
         shards,
         transform,

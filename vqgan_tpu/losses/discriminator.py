@@ -103,6 +103,86 @@ def init_discriminator_params(
     return model, model.init(rng, x)["params"]
 
 
+def _identity_temporal_init(key, shape, dtype=jnp.float32):
+    """(kt, 1, 1, 1, C) depthwise kernel with the CENTER temporal tap = 1:
+    the mixer starts as identity, so a fresh TubeletDiscriminator computes
+    exactly the per-frame PatchDiscriminator until training moves it."""
+    k = jnp.zeros(shape, dtype)
+    return k.at[shape[0] // 2].set(1.0)
+
+
+class TubeletDiscriminator(nn.Module):
+    """Spatio-temporal patch discriminator for the video GAN — beyond the
+    reference (whose tae.py is never trained; the per-frame 2D disc in
+    train/step3d.py cannot see temporal artifacts like flicker or texture
+    crawl). TPU-first design: the 2D VGG16 backbone runs on every frame as
+    one (B·T) batch — the MXU-efficient path, with the SAME backbone
+    parameter tree as PatchDiscriminator so ``--disc_backbone_weights``
+    (pretrained torchvision VGG16, reference utils.py:147-156) drops in
+    unchanged — then each feature tap passes a depthwise temporal conv
+    (kernel 3, SAME, identity-initialized) before its spatial patch head,
+    so the multi-scale patch vote judges short-range motion coherence, not
+    just per-frame realism. Head specs and zero-init finals exactly as the
+    2D heads. Output: (B, T·P) patch logits — gan_disc_loss consumes any
+    (B, N) logit layout."""
+
+    dtype: Dtype = jnp.float32
+
+    def _tmix(self, f: jax.Array, b: int, t: int, name: str) -> jax.Array:
+        """(B·T, h, w, c) → depthwise temporal mix → (B·T, h, w, c)."""
+        bt, h, w, c = f.shape
+        f5 = f.reshape(b, t, h, w, c)
+        f5 = nn.Conv(
+            c,
+            (min(3, t), 1, 1),
+            padding="SAME",
+            feature_group_count=c,
+            use_bias=False,
+            kernel_init=_identity_temporal_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )(f5)
+        return f5.reshape(bt, h, w, c)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """(B, T, H, W, 3) in [-1,1] → (B, T·P) spatio-temporal patch logits."""
+        b, t, hh, ww, _ = x.shape
+        xf = x.reshape(b * t, hh, ww, 3)
+        xf = ScalingLayer()(xf)
+        f1, f2, f3, f4, f5 = VGG16Features(dtype=self.dtype, name="vgg")(xf)
+        f1 = self._tmix(f1, b, t, "tmix1")
+        f2 = self._tmix(f2, b, t, "tmix2")
+        f3 = self._tmix(f3, b, t, "tmix3")
+        f4 = self._tmix(f4, b, t, "tmix4")
+        f5 = self._tmix(f5, b, t, "tmix5")
+
+        h1 = _head_conv(32, 4, 4, 64 * 16, False, self.dtype, "bc1_conv0")(f1)
+        h1 = nn.relu(h1)
+        h1 = _head_conv(1, 4, 4, 32 * 16, True, self.dtype, "bc1_conv1")(h1)
+
+        h2 = _head_conv(64, 4, 4, 128 * 16, False, self.dtype, "bc2_conv0")(f2)
+        h2 = nn.relu(h2)
+        h2 = _head_conv(1, 2, 2, 64 * 4, True, self.dtype, "bc2_conv1")(h2)
+
+        h3 = _head_conv(128, 2, 2, 256 * 4, False, self.dtype, "bc3_conv0")(f3)
+        h3 = nn.relu(h3)
+        h3 = _head_conv(1, 2, 2, 128 * 4, True, self.dtype, "bc3_conv1")(h3)
+
+        h4 = _head_conv(1, 2, 2, 512 * 4, True, self.dtype, "bc4_conv0")(f4)
+        h5 = _head_conv(1, 1, 1, 512, True, self.dtype, "bc5_conv0")(f5)
+
+        logits = (
+            h1.reshape(b, -1)
+            + h2.reshape(b, -1)
+            + h3.reshape(b, -1)
+            + h4.reshape(b, -1)
+            + h5.reshape(b, -1)
+        )
+        return logits.astype(jnp.float32)
+
+
 # (our head conv name) ← (reference Sequential index, utils.py:156-185)
 _HEAD_KEY_MAP = {
     "bc1_conv0": "binary_classifier1.0",

@@ -36,13 +36,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Module-level constants MUST be numpy, not jnp: this module is imported
+# lazily from inside traced functions (nn.remat regions), and a jnp.array
+# built during an active trace is a tracer — storing it in a module global
+# leaks it into every later trace (UnexpectedTracerError, found when
+# upsample_impl=fused first ran under remat_policy="conv").
 
 # A[phase, tap, orig_tap]: per-dim linear map from the 3 original kernel taps
 # to the 2 phase-conv taps (see module docstring).
-_A = jnp.array(
+_A = np.array(
     [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],
      [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 # A4[t4, orig_tap]: per-dim map from the 3 original taps to the 4 taps of
@@ -50,12 +57,12 @@ _A = jnp.array(
 # dilation 2 and padding (2, 2), output o reads dilated-input position
 # o - 2 + t4, which is x[j] iff o - 2 + t4 = 2j; solving per phase gives
 #   K4[0] = w0, K4[1] = w0 + w1, K4[2] = w1 + w2, K4[3] = w2.
-_A4 = jnp.array(
+_A4 = np.array(
     [[1.0, 0.0, 0.0],
      [1.0, 1.0, 0.0],
      [0.0, 1.0, 1.0],
      [0.0, 0.0, 1.0]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -242,3 +242,51 @@ def state_shardings(state, mesh: Mesh):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(per_leaf, state)
+
+
+def process_batch_block(sharding: NamedSharding, global_shape) -> list:
+    """This process's contiguous (start, stop) block of a sharded global
+    array, per dimension.
+
+    Used by the trainers to feed context-parallel multi-host meshes: when
+    the "context" axis shards dim 1 across devices, each host must supply
+    exactly its addressable box of the global batch to
+    ``jax.make_array_from_process_local_data`` — hosts in the same
+    batch-row block load the SAME samples and contribute their dim-1 slice.
+    Raises if this process's shards do not form one contiguous box (no such
+    mesh layout is produced by create_mesh, but a custom device order
+    could)."""
+    global_shape = tuple(global_shape)
+    imap = sharding.devices_indices_map(global_shape)
+    local = [imap[d] for d in sharding.addressable_devices]
+
+    def bounds(sl, n):
+        return (sl.start or 0, n if sl.stop is None else sl.stop)
+
+    ndim = len(global_shape)
+    per_dim = [
+        sorted({bounds(s[i], global_shape[i]) for s in local})
+        for i in range(ndim)
+    ]
+    n_combos = 1
+    for p in per_dim:
+        n_combos *= len(p)
+    distinct = {
+        tuple(bounds(s[i], global_shape[i]) for i in range(ndim))
+        for s in local
+    }
+    if n_combos != len(distinct):
+        raise ValueError(
+            f"process shards do not form a box: {sorted(distinct)}"
+        )
+    out = []
+    for i, p in enumerate(per_dim):
+        lo = p[0][0]
+        for a, b in p:
+            if a != lo:
+                raise ValueError(
+                    f"process shards not contiguous along dim {i}: {p}"
+                )
+            lo = b
+        out.append((p[0][0], lo))
+    return out

@@ -142,6 +142,14 @@ def make_train_step_3d_gan(
             )
         return model.apply({"params": g_params}, z_s, method=model.decode)
 
+    tubelet = cfg.disc_3d == "tubelet"
+
+    def disc_in(clip: jax.Array) -> jax.Array:
+        """Discriminator input: the frame disc sees a flattened (B·T) frame
+        batch; the tubelet disc sees the (B, T, H, W, 3) clip itself."""
+        clip = clip.astype(jnp.float32)
+        return clip if tubelet else _flat_frames(clip)
+
     def disc_apply(d_params, frames):
         return disc_model.apply({"params": d_params}, frames)
 
@@ -176,9 +184,7 @@ def make_train_step_3d_gan(
         total = percep + rec + kl_weight * reg_loss
         if use_gan:
             recon_gan = gradnorm(recon_f, cfg.gradnorm_gan, None, gn_shards)
-            fake_preds = disc_apply(
-                d_params, _flat_frames(recon_gan.astype(jnp.float32))
-            )
+            fake_preds = disc_apply(d_params, disc_in(recon_gan))
             g_gan = generator_gan_loss(fake_preds, cfg.disc_type)
             metrics["gan/generator_gan_loss"] = g_gan
             total = total + g_gan
@@ -236,8 +242,8 @@ def make_train_step_3d_gan(
                 (jax.lax.stop_gradient(recon.astype(jnp.float32)), batch),
                 cfg.video_loss_frames,
             )
-            fake_frames = _flat_frames(recon_f)
-            real_frames = _flat_frames(target_f)
+            fake_frames = disc_in(recon_f)
+            real_frames = disc_in(target_f)
 
             def d_loss_fn(dp):
                 real_preds = disc_apply(dp, real_frames)
@@ -369,8 +375,8 @@ def make_train_step_3d_gan(
                     (jax.lax.stop_gradient(recon.astype(jnp.float32)), xb),
                     cfg.video_loss_frames,
                 )
-                fake_frames = _flat_frames(recon_f)
-                real_frames = _flat_frames(target_f)
+                fake_frames = disc_in(recon_f)
+                real_frames = disc_in(target_f)
 
                 def d_loss_fn(dp):
                     real_preds = disc_apply(dp, real_frames)

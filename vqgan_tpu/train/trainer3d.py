@@ -221,7 +221,10 @@ class Trainer3D:
             # PatchDiscriminator + LPIPS + GradNorm branches + LeCam, with
             # the 2D trainer's optimizer design (muP lr + conv_in group,
             # cosine schedule; constant-lr AdamW on D)
-            from vqgan_tpu.losses.discriminator import PatchDiscriminator
+            from vqgan_tpu.losses.discriminator import (
+                PatchDiscriminator,
+                TubeletDiscriminator,
+            )
             from vqgan_tpu.losses.lpips import LPIPS, load_lpips_params
             from vqgan_tpu.train.state import create_train_state
             from vqgan_tpu.train.step3d import make_train_step_3d_gan
@@ -230,10 +233,21 @@ class Trainer3D:
                 jax.random.fold_in(rng, 77), 3
             )
             res = tvae_cfg.resolution
-            self.disc = PatchDiscriminator(dtype=jnp.float32)
-            d_params = self.disc.init(
-                k_d, jnp.zeros((1, res, res, 3))
-            )["params"]
+            if cfg.disc_3d == "tubelet":
+                # spatio-temporal patch disc (identity-init temporal mixers:
+                # equals the per-frame disc at init, learns motion coherence)
+                self.disc = TubeletDiscriminator(dtype=jnp.float32)
+                k = cfg.video_loss_frames if cfg.video_loss_frames > 0 else frames
+                d_params = self.disc.init(
+                    k_d, jnp.zeros((1, min(k, frames), res, res, 3))
+                )["params"]
+            elif cfg.disc_3d == "frame":
+                self.disc = PatchDiscriminator(dtype=jnp.float32)
+                d_params = self.disc.init(
+                    k_d, jnp.zeros((1, res, res, 3))
+                )["params"]
+            else:
+                raise ValueError(f"unknown disc_3d {cfg.disc_3d!r}")
             self.lpips = LPIPS(dtype=jnp.float32)
             self.lpips_params = load_lpips_params(
                 cfg.lpips_weights, k_lpips, image_size=res
