@@ -231,10 +231,11 @@ def train(**kw):
 @click.option("--attn_impl", type=str, default="auto",
               help="Chunked-attention impl: auto (Pallas flash kernel on "
                    "TPU, lax scan elsewhere) | pallas | lax")
-@click.option("--upsample_impl", type=str, default="direct",
+@click.option("--upsample_impl", type=str, default="auto",
               help="Decoder Upsample3D blocks: direct (nearest-2x-3D then "
-                   "Conv3d) | fused (identical subpixel phase convs, "
-                   "ops/subpixel.py) | auto (fused on TPU)")
+                   "Conv3d) | fused (identical subpixel phase convs) | "
+                   "dilated (identical lhs-dilated conv, ops/subpixel.py) "
+                   "| auto (dilated on TPU; all within ±1% at 16f/128px)")
 @click.option("--fused_gn_swish", type=bool, default=False,
               help="Fold norm->silu into the GroupNorm sweep (perf knob; "
                    "numerics unchanged)")

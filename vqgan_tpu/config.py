@@ -155,8 +155,13 @@ class TVAEConfig:
     # decoder Upsample3D blocks: "direct" materializes the nearest-2x-3D
     # tensor then 3x3x3-convs it (reference tae.py:107-117); "fused" is the
     # identical function as subpixel phase convs (ops/subpixel.py — no 8x
-    # activation write, 8 MACs/output voxel vs 27); "auto" = fused on TPU
-    upsample_impl: str = "direct"
+    # activation write, 8 MACs/output voxel vs 27); "dilated" the identical
+    # lhs-dilated conv; "auto" = dilated on TPU, direct elsewhere.
+    # MEASURED (BASELINE.md r4, 16f/128px matrix): upsample impl is within
+    # ±1% in the 3D family (its upsample convs are a small share of the
+    # step) — auto adopted for the best measured combo (tap2dfat+dilated,
+    # 246.3 f/s) and the 8/27 MAC cut at zero cost.
+    upsample_impl: str = "auto"
     # fold the norm->silu chains into the GroupNorm op's elementwise sweep
     # (ops/normalization.py with_swish), as the 2D family does. MEASURED
     # (BASELINE.md round 3): neutral at the 48f/256px long-clip config and

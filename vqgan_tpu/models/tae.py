@@ -275,10 +275,13 @@ def conv3d(
     impl: str = "direct",
 ):
     if impl == "auto":
-        # tap2d measured 213 vs 189 f/s at 16f/128px and 40.8 vs 20.1 f/s
-        # at 48f/256px on v5e (BASELINE.md "conv3d_impl") — default on TPU;
-        # "direct" elsewhere (CPU tests, jax.export artifacts)
-        impl = "tap2d" if jax.default_backend() == "tpu" else "direct"
+        # round-4 matrix at 16f/128px (remat+conv policy, BASELINE.md r4):
+        # tap2dfat 246 f/s vs tap2d 208 (+18%) — the single-conv 3·Co form
+        # reads the activation once and fuses the temporal shifts. At the
+        # 48f/256px long-clip config tap2d is ~4% ahead (40.8 vs 39.2);
+        # pass --conv3d_impl tap2d there. "direct" elsewhere (CPU tests,
+        # jax.export artifacts).
+        impl = "tap2dfat" if jax.default_backend() == "tpu" else "direct"
     if kernel == 3 and strides == 1 and padding == "SAME":
         cls = {"tap2d": Conv3DTap2D, "tap2dfat": Conv3DTap2DFat}.get(impl)
         if cls is not None:
