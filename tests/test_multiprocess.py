@@ -276,3 +276,36 @@ def test_two_process_full_trainer_context_parallel(tmp_path):
 
     assert _glob.glob(str(run_dir / "eval" / "reconstructed_test_images_*.png"))
     assert _glob.glob(str(run_dir / "vae_epoch_*_step_*.pt"))
+
+
+def test_two_process_trainer3d_context(tmp_path):
+    """Trainer3D on a 2-process data=1,context=2 mesh: a clip's T dim spans
+    the hosts (ring attention's ppermute collectives run cross-process) and
+    the context-parallel feed gives both hosts the same clip stream, each
+    contributing its T half. Param hashes must agree."""
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multiprocess_trainer3d_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["MP_CKPT_DIR"] = str(tmp_path)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker], env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, phash = line.split()
+                results[int(pid)] = phash
+    assert set(results) == {0, 1}, results
+    assert results[0] == results[1], results

@@ -281,10 +281,12 @@ class TrainConfig:
     # larger values tighten eval/lpips and especially the Fréchet rFID proxy
     # VGG tap activations pooled into the Fréchet rFID proxy's feature
     # vector (losses/fid.py::make_feature_fn). (-1,) is the relu5_3-only
-    # statistic; multi-tap (2, 3, 4) adds mid-level texture taps to the
-    # Gaussian fit to damp the small-eval-set artifact BASELINE.md documents
-    # (relu5_3-only Fréchet rising while LPIPS improves).
-    rfid_taps: Tuple[int, ...] = (2, 3, 4)
+    # statistic. MEASURED (BASELINE.md round 4): multi-tap (2, 3, 4) does
+    # NOT fix the small-eval-set artifact (the Fréchet fit rising while
+    # LPIPS improves on the 32-image toy eval — both tap sets rise ~10x);
+    # the lever is --eval_batches, not tap depth. Default stays (-1,) for
+    # comparability with earlier runs; the knob remains for studies.
+    rfid_taps: Tuple[int, ...] = (-1,)
     load_path: Optional[str] = None
     ckpt_dir: str = "./ckpt"
     seed: int = 42

@@ -117,16 +117,24 @@ def create_video_dataloader(
     do_shuffle: bool = True,
     seed: int = 0,
     loop: bool = True,
+    process_index: int = None,
+    process_count: int = None,
 ) -> _CloseableStreamIter:
     """Per-host video batch iterator: (local_batch, frames, size, size, 3)
     float32 in [-1, 1]. Shard assignment is disjoint per host (the same
     ``split_by_node`` contract as images); feed the result through
-    ``jax.make_array_from_process_local_data`` for the global batch."""
+    ``jax.make_array_from_process_local_data`` for the global batch.
+
+    ``process_index``/``process_count`` override the split identity (the
+    context-parallel multi-host feed passes its batch-row block index so
+    same-block hosts read identical streams; see trainer.py::_ctx_feed)."""
     import jax
 
-    shards = split_shards(
-        expand_braces(url), jax.process_index(), jax.process_count()
-    )
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    shards = split_shards(expand_braces(url), process_index, process_count)
     stream = TarImageStream(
         shards,
         video_transform(frames, size, train=do_shuffle, seed=seed),

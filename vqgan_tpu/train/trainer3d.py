@@ -284,6 +284,31 @@ class Trainer3D:
                 donate_argnums=(0, 1, 4),
             )
         self.batch_shard = batch_sharding(self.mesh, ndim=5)
+        # context-parallel multi-host feed (same design as
+        # trainer.py::_ctx_feed): with "context" sharding the clip's T dim
+        # across hosts, hosts in a batch-row block read the SAME clip
+        # stream and contribute their T slice.
+        self._ctx_feed = None
+        if n_ctx > 1 and jax.process_count() > 1:
+            from vqgan_tpu.parallel.mesh import process_batch_block
+
+            res = tvae_cfg.resolution
+            blk = process_batch_block(
+                self.batch_shard, (cfg.batch_size, frames, res, res, 3)
+            )
+            (b0, b1), (t0, t1) = blk[0], blk[1]
+            rows = b1 - b0
+            if b0 % rows or cfg.batch_size % rows:
+                raise ValueError(
+                    f"context-parallel batch blocks are uneven: rows "
+                    f"[{b0}, {b1}) of {cfg.batch_size}"
+                )
+            self._ctx_feed = {
+                "rows": rows,
+                "t": (t0, t1),
+                "block_idx": b0 // rows,
+                "n_blocks": cfg.batch_size // rows,
+            }
         self.logger = MetricLogger(
             cfg.run_name, cfg.project_name, use_wandb=cfg.use_wandb,
             out_dir=f"{cfg.ckpt_dir}/{cfg.run_name}",
@@ -504,7 +529,15 @@ class Trainer3D:
 
     def train(self):
         cfg = self.cfg
-        local_batch = cfg.batch_size // jax.process_count()
+        split = {}
+        if self._ctx_feed is not None:
+            local_batch = self._ctx_feed["rows"]
+            split = dict(
+                process_index=self._ctx_feed["block_idx"],
+                process_count=self._ctx_feed["n_blocks"],
+            )
+        else:
+            local_batch = cfg.batch_size // jax.process_count()
         if cfg.dataset_url and not cfg.synthetic_data:
             # real clips: .npy/.npz samples in tar shards (data/video.py),
             # same per-host shard split as the image pipeline
@@ -517,6 +550,7 @@ class Trainer3D:
                 self.tvae_cfg.resolution,
                 num_workers=cfg.num_workers,
                 seed=cfg.seed + self.start_step,
+                **split,
             )
         else:
             src = synthetic_video_batches(
@@ -564,8 +598,12 @@ class Trainer3D:
                 # per-host local array → global batch (a plain device_put
                 # with the global sharding would misread the local array on
                 # pods)
+                local = np.asarray(next(src))
+                if self._ctx_feed is not None:
+                    t0, t1 = self._ctx_feed["t"]
+                    local = local[:, t0:t1]
                 batch = jax.make_array_from_process_local_data(
-                    self.batch_shard, np.asarray(next(src))
+                    self.batch_shard, local
                 )
                 if self.use_gan:
                     self.state, metrics = self._step(
