@@ -168,6 +168,35 @@ def test_psnr_ssim_properties():
     assert 1.0 > s1 > s2 > 0.0
 
 
+def test_ssim_blur_precision_is_highest():
+    """The SSIM window convs MUST request Precision.HIGHEST: the TPU's
+    DEFAULT conv precision is bf16, and the ``blur(a*a) - mu**2`` variance
+    cancellation then yields negative variances bigger than the c2
+    stabilizer — the SSIM map escapes [-1, 1] (observed 4.5/-2.4 on a
+    flagship hardware run). Pin the precision in the lowered jaxpr so a
+    refactor can't silently drop it; the CPU test backend can't reproduce
+    the numeric blowup itself."""
+    from vqgan_tpu.losses.metrics import ssim
+
+    a = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(ssim)(a, a))
+    n_conv = jaxpr.count("conv_general_dilated")
+    assert n_conv >= 5  # mu_a, mu_b, a*a, b*b, a*b
+    assert jaxpr.count("HIGHEST") >= n_conv
+
+
+def test_ssim_bounded_under_variance_cancellation():
+    """Flat bright patches maximize the mu^2-vs-blur(a*a) cancellation; the
+    clamped variances must keep SSIM within its mathematical range."""
+    from vqgan_tpu.losses.metrics import ssim
+
+    rng = np.random.RandomState(3)
+    a = np.full((2, 32, 32, 3), 0.997, np.float32)
+    b = np.clip(a + 1e-3 * rng.randn(*a.shape).astype(np.float32), 0, 1)
+    s = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert -1.0 <= s <= 1.0
+
+
 def test_ssim_matches_skimage_if_available():
     from vqgan_tpu.losses.metrics import ssim
 

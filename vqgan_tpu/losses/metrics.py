@@ -48,16 +48,25 @@ def ssim(
     kernel = jnp.tile(win, (1, 1, 1, c))  # HWIO with feature_group_count=c
 
     def blur(x):
+        # Precision.HIGHEST is load-bearing: the TPU's DEFAULT conv
+        # precision is bf16, and ``blur(a*a) - mu_a**2`` then cancels
+        # catastrophically — negative "variances" larger than c2 push the
+        # SSIM map far outside [-1, 1] (observed eval/ssim 4.5 / -2.4 on a
+        # flagship 256px hardware run; CPU tests never see it because the
+        # CPU backend convolves in exact fp32 regardless).
         return jax.lax.conv_general_dilated(
             x, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_a, mu_b = blur(a), blur(b)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    var_a = blur(a * a) - mu_aa
-    var_b = blur(b * b) - mu_bb
+    # exact-math residual cancellation can still dip microscopically below
+    # zero; clamp so the stabilized denominator can never change sign
+    var_a = jnp.maximum(blur(a * a) - mu_aa, 0.0)
+    var_b = jnp.maximum(blur(b * b) - mu_bb, 0.0)
     cov = blur(a * b) - mu_ab
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
