@@ -262,6 +262,46 @@ class Conv3DTap2DStride2Fat(nn.Module):
         return out
 
 
+class Conv3DTapPallas(nn.Module):
+    """Conv3DTap2DFat with the temporal-tap sum fused INTO the conv via the
+    Pallas kernel (ops/pallas/conv3d.py): the 3·Co intermediate and its
+    shifted re-read — 23% of the HBM-bound 3D step as pure data formatting
+    (BASELINE.md r4 trace) — never exist; the output is written once, Co
+    wide, with fp32 cross-tap accumulation. Same (3,3,3,Ci,Co) parameter
+    tensor and zero-T-SAME math as every other impl (reference tae.py:57-76).
+    Interpret mode off-TPU keeps the path CPU-testable."""
+
+    features: int
+    dtype: Dtype
+    fan_in: int
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from vqgan_tpu.ops.pallas.conv3d import conv3d_ttap
+
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or torch_conv_kernel_init,
+            (3, 3, 3, ci, self.features),
+            jnp.float32,
+        )
+        out = conv3d_ttap(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            jax.default_backend() != "tpu",
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(self.fan_in), (self.features,),
+                jnp.float32,
+            )
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 def conv3d(
     features: int,
     kernel: int,
@@ -283,7 +323,11 @@ def conv3d(
         # jax.export artifacts).
         impl = "tap2dfat" if jax.default_backend() == "tpu" else "direct"
     if kernel == 3 and strides == 1 and padding == "SAME":
-        cls = {"tap2d": Conv3DTap2D, "tap2dfat": Conv3DTap2DFat}.get(impl)
+        cls = {
+            "tap2d": Conv3DTap2D,
+            "tap2dfat": Conv3DTap2DFat,
+            "pallas": Conv3DTapPallas,
+        }.get(impl)
         if cls is not None:
             return cls(
                 features=features,
@@ -297,6 +341,9 @@ def conv3d(
         cls = {
             "tap2d": Conv3DTap2DStride2,
             "tap2dfat": Conv3DTap2DStride2Fat,
+            # the Pallas kernel covers the stride-1 bulk; the encoder's few
+            # stride-2 downsamples keep the measured-best fat lowering
+            "pallas": Conv3DTap2DStride2Fat,
         }.get(impl)
         if cls is not None:
             return cls(
@@ -307,7 +354,7 @@ def conv3d(
                 kernel_init=kernel_init,
                 name=name,
             )
-    if impl not in ("direct", "tap2d", "tap2dfat"):
+    if impl not in ("direct", "tap2d", "tap2dfat", "pallas"):
         raise ValueError(f"unknown conv3d_impl {impl!r}")
     return nn.Conv(
         features,
