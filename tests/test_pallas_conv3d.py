@@ -55,6 +55,22 @@ def test_forward_t_boundaries():
         )
 
 
+def test_forward_multiband_halo():
+    """Forced small band height (n_hb > 1): the spatial halo rows fetched
+    through the narrow prev/next specs, and their top/bottom edge masks,
+    must reproduce exact SAME zero padding. _pick_bh never splits at test
+    shapes, so this pins the blocked path the 128px hardware levels use."""
+    from vqgan_tpu.ops.pallas.conv3d import _conv3d_pallas
+
+    for bh in (8, 16):
+        x, k = _data(b=1, t=3, h=32, w=8, ci=8, co=8, seed=bh)
+        np.testing.assert_allclose(
+            np.asarray(_conv3d_pallas(x, k, True, bh=bh)),
+            np.asarray(_direct(x, k)),
+            atol=2e-5,
+        )
+
+
 def test_gradients_match_direct():
     x, k = _data(b=1, t=4, h=8, w=8, ci=8, co=8)
     dy = jax.random.normal(jax.random.PRNGKey(7), x.shape[:-1] + (8,))

@@ -8,22 +8,44 @@ of the step is pure data formatting from the tap2dfat lowering
 intermediate to HBM, which a loop fusion then re-reads shifted by ±1 frame to
 form the temporal-tap sum. Per conv with Ci == Co (the ResnetBlock3D bulk)
 that is read x + write 3·|y| + read 3·|y| + write |y| ≈ 8 activation units
-of traffic. This kernel keeps the tap accumulation in VMEM instead:
+of traffic. This kernel keeps the tap accumulation in VMEM instead.
 
-  grid = (B·T, kt∈{0,1,2})   — kt innermost, so the output block and the
-                               fp32 accumulator stay resident across taps
-  x spec: one whole (H, W, Ci) frame per step, index-mapped to the
-          neighboring frame t+kt-1 (clamped at clip edges; the edge tap's
-          contribution is masked with pl.when — zero T padding semantics,
-          exactly the reference Conv3d's SAME behavior, tae.py:57-76)
-  body:   nine shifted (H·W, Ci) @ (Ci, Co) MXU matmuls per tap (the 3×3
-          spatial window over a once-padded VMEM copy), accumulated fp32
-  kt==2:  one cast + one write of the (H, W, Co) output frame
+Blocking (v2 — the v1 whole-frame blocks OOMed the 16 MB VMEM scoped stack
+on hardware at the 128×128 levels: lane padding rounds Ci=64→128, so
+x + out + fp32 acc alone were 3×8 MB): the output frame is split into
+``bh``-row horizontal bands, and the 3×3 spatial window's one-row halo on
+each side is fetched through two extra *narrow* block specs of the SAME
+input array — an 8-row band containing exactly the row above the block
+(its last row) and one containing the row below (its first row). Pallas
+block indices are block-granular, so the halo bands are the finest
+overlap expressible without manual DMA; at bh=32 they add 16/32 = 50% read
+amplification, keeping total traffic ≈ 3·1.5 reads + 1 write ≈ 5.5 units —
+still ~1.5× less than tap2dfat on an HBM-bound step.
 
-Traffic per conv drops to 3 reads of x + 1 write of y ≈ 4 units — about 2×
-less than tap2dfat on an HBM-bound step. The fp32 cross-tap accumulator is
-*tighter* numerics than tap2dfat's bf16 tap sum (and than the reference's
-autocast Conv3d); parity is pinned in tests/test_pallas_conv3d.py.
+  grid = (B·T, H/bh, kt∈{0,1,2})  — kt innermost, so the fp32 accumulator
+                                    stays resident across taps
+  x specs: cur  (1, bh, W, Ci) band of the neighboring frame t+kt-1
+                (clamped at clip edges; the clamp is masked to exact
+                zero-T-pad semantics, reference Conv3d tae.py:57-76)
+           prev (1, 8, W, Ci) band whose LAST row is the row above cur
+           next (1, 8, W, Ci) band whose FIRST row is the row below cur
+                (both clamped at frame edges and masked to zero — exact
+                SAME spatial padding)
+  body:    assemble the (bh+2, W+2, Ci) padded strip in VMEM, then nine
+           shifted (bh·W, Ci) @ (Ci, Co) MXU matmuls per tap, fp32 acc
+  kt==2:   one cast + one write of the (bh, W, Co) output band
+
+The fp32 cross-tap accumulator is *tighter* numerics than tap2dfat's bf16
+tap sum (and than the reference's autocast Conv3d); parity is pinned in
+tests/test_pallas_conv3d.py.
+
+MEASURED OUTCOME (BASELINE.md round 4, real v5e): 181.6 f/s at the
+16f/128px bench vs 246.3 f/s for tap2dfat — the traffic win is real but
+the kernel's K=Ci/N=Co matmul geometry fills ≤25% of the MXU at the
+Ci=Co=64 bulk, while XLA's fat conv runs K=9·Ci, N=3·Co at ~41% of peak.
+The geometry fix (im2col to K=9·Ci in VMEM) hits a Mosaic lowering limit
+(lane-concat of shifted windows). conv3d_impl="pallas" therefore stays an
+explicit opt-in; "auto" resolves to the measured-best tap2dfat.
 
 Backward (custom VJP):
   dx — mathematically another 3×3×3 stride-1 SAME conv of dy with the
@@ -37,10 +59,10 @@ Same (3, 3, 3, Ci, Co) parameter tensor as every other conv3d impl —
 checkpoint/torch-import parity preserved. Off-TPU the kernel runs in
 interpret mode so the whole path is unit-testable on CPU.
 
-VMEM budget at the worst bench level (128×128 frames, Ci=Co=64, bf16):
-x block 2 MB (×2 pipelining) + fp32 accumulator 4 MB + out block 2 MB +
-padded copy ~2 MB + weights 0.2 MB ≈ 12 MB of the 16 MB/core — whole-frame
-blocks fit precisely because c·h·w stays roughly constant across VAE levels.
+VMEM budget at the worst bench level (128×128 frames, Ci=Co=64→128 lanes,
+bf16, bh=32): cur 1 MB ×2 pipelining + halos 2×0.25 MB ×2 + out 1 MB ×2 +
+fp32 acc 2 MB + padded strip ~1 MB + weights ≤3.5 MB ≈ 10.5 MB of the
+16 MB/core; `_pick_bh` sizes bh per shape against this budget.
 """
 
 from __future__ import annotations
@@ -52,18 +74,67 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_HALO = 8  # halo band height (rows); finest block granularity worth DMAing
 
-def _x_index(i, kt, *, t_len):
-    """Block index of the input frame feeding tap ``kt`` of output frame
-    ``i``: the neighbor t+kt-1 within the same clip, clamped at the clip
-    boundary (the clamped duplicate fetch is masked off in the kernel)."""
+
+def _lanes(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _pick_bh(h: int, w: int, ci: int, co: int, itemsize: int) -> int:
+    """Largest 8-multiple divisor of ``h`` whose VMEM footprint (with lane
+    padding, double-buffering, and the fp32 accumulator) fits the budget."""
+    budget = 10 * 1024 * 1024  # leave room for the resident weight tensor
+
+    def est(bh: int) -> int:
+        cur = 2 * bh * w * _lanes(ci) * itemsize
+        halo = 2 * 2 * _HALO * w * _lanes(ci) * itemsize
+        out = 2 * bh * w * _lanes(co) * itemsize
+        acc = bh * w * _lanes(co) * 4
+        strip = (bh + 2) * (w + 2) * _lanes(ci) * itemsize
+        return cur + halo + out + acc + strip
+
+    cands = [d for d in range(h, 0, -1) if h % d == 0 and d % _HALO == 0]
+    if not cands:  # h not a multiple of 8 (tiny test shapes): whole frame
+        return h
+    for bh in cands:
+        if est(bh) <= budget:
+            return bh
+    return cands[-1]
+
+
+def _frame(i, kt, t_len):
+    """Input frame feeding tap ``kt`` of output frame ``i``: the neighbor
+    t+kt-1 within the same clip, clamped at the clip boundary (the clamped
+    duplicate fetch is masked off in the kernel)."""
     base = (i // t_len) * t_len
-    return (base + jnp.clip(i - base + kt - 1, 0, t_len - 1), 0, 0, 0)
+    return base + jnp.clip(i - base + kt - 1, 0, t_len - 1)
 
 
-def _kernel(x_ref, k_ref, o_ref, acc_ref, *, t_len: int):
+def _cur_index(i, hb, kt, *, t_len):
+    return (_frame(i, kt, t_len), hb, 0, 0)
+
+
+def _prev_index(i, hb, kt, *, t_len, hpb):
+    # band whose LAST row is row hb*bh - 1 (block hb*hpb - 1), clamped
+    return (_frame(i, kt, t_len), jnp.maximum(hb * hpb - 1, 0), 0, 0)
+
+
+def _next_index(i, hb, kt, *, t_len, hpb, n_halo):
+    # band whose FIRST row is row (hb+1)*bh (block (hb+1)*hpb), clamped
+    return (
+        _frame(i, kt, t_len),
+        jnp.minimum((hb + 1) * hpb, n_halo - 1),
+        0,
+        0,
+    )
+
+
+def _kernel(prev_ref, cur_ref, next_ref, k_ref, o_ref, acc_ref,
+            *, t_len: int, n_hb: int, halo_h: int):
     i = pl.program_id(0)
-    kt = pl.program_id(1)
+    hb = pl.program_id(1)
+    kt = pl.program_id(2)
     tloc = jax.lax.rem(i, t_len)
 
     @pl.when(kt == 0)
@@ -75,12 +146,25 @@ def _kernel(x_ref, k_ref, o_ref, acc_ref, *, t_len: int):
 
     @pl.when(valid)
     def _accumulate():
-        x = x_ref[0]  # (H, W, Ci)
-        h, w, _ = x.shape
-        xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+        cur = cur_ref[0]  # (bh, W, Ci)
+        bh, w, ci = cur.shape
+        dt = cur.dtype
+        # spatial halo rows, masked to zero at the frame's top/bottom edge
+        top = prev_ref[0, halo_h - 1] * (hb > 0).astype(dt)
+        bot = next_ref[0, 0] * (hb < n_hb - 1).astype(dt)
+        strip = jnp.concatenate([top[None], cur, bot[None]], axis=0)
+        xp = jnp.pad(strip, ((0, 0), (1, 1), (0, 0)))
+        # Nine shifted (bh·W, Ci) @ (Ci, Co) accumulating dots per tap.
+        # NOTE on MXU geometry (measured, BASELINE.md r4): at Ci=Co=64 these
+        # K=64/N=64 dots fill ≤25% of the MXU, which is why this kernel
+        # loses to the tap2dfat XLA lowering end-to-end (181.6 vs 246.3 f/s
+        # at 16f/128px) despite moving ~30% less HBM traffic. The fix — one
+        # im2col (bh·W, 9·Ci) matmul per tap — does not currently lower:
+        # Mosaic rejects the lane-dim concat of spatially shifted windows
+        # ("result/input offset mismatch on non-concat dimension").
         for dh in range(3):
             for dw in range(3):
-                win = xp[dh : dh + h, dw : dw + w, :].reshape(h * w, -1)
+                win = xp[dh : dh + bh, dw : dw + w, :].reshape(bh * w, -1)
                 acc_ref[...] += jnp.dot(
                     win, k_ref[kt, dh, dw],
                     preferred_element_type=jnp.float32,
@@ -88,34 +172,48 @@ def _kernel(x_ref, k_ref, o_ref, acc_ref, *, t_len: int):
 
     @pl.when(kt == 2)
     def _emit():
-        h, w = o_ref.shape[1], o_ref.shape[2]
-        o_ref[0] = acc_ref[...].reshape(h, w, -1).astype(o_ref.dtype)
+        bh, w = o_ref.shape[1], o_ref.shape[2]
+        o_ref[0] = acc_ref[...].reshape(bh, w, -1).astype(o_ref.dtype)
 
 
-def _conv3d_pallas(x: jax.Array, kernel: jax.Array, interpret: bool):
+def _conv3d_pallas(
+    x: jax.Array, kernel: jax.Array, interpret: bool, bh: int | None = None
+):
     b, t, h, w, ci = x.shape
     co = kernel.shape[-1]
+    if bh is None:  # tests force small bands to exercise the halo path
+        bh = _pick_bh(h, w, ci, co, x.dtype.itemsize)
+    n_hb = h // bh
+    halo_h = _HALO if bh % _HALO == 0 else bh
+    hpb = bh // halo_h
+    n_halo = h // halo_h
     xf = x.reshape(b * t, h, w, ci)
+    halo_spec = lambda idx: pl.BlockSpec(
+        (1, halo_h, w, ci), idx, memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, t_len=t),
-        grid=(b * t, 3),
+        functools.partial(_kernel, t_len=t, n_hb=n_hb, halo_h=halo_h),
+        grid=(b * t, n_hb, 3),
         in_specs=[
+            halo_spec(functools.partial(_prev_index, t_len=t, hpb=hpb)),
             pl.BlockSpec(
-                (1, h, w, ci),
-                functools.partial(_x_index, t_len=t),
+                (1, bh, w, ci),
+                functools.partial(_cur_index, t_len=t),
                 memory_space=pltpu.VMEM,
             ),
+            halo_spec(functools.partial(
+                _next_index, t_len=t, hpb=hpb, n_halo=n_halo)),
             # whole (3,3,3,Ci,Co) weight tensor resident in VMEM
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w, co), lambda i, kt: (i, 0, 0, 0),
+            (1, bh, w, co), lambda i, hb, kt: (i, hb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * t, h, w, co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((h * w, co), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bh * w, co), jnp.float32)],
         interpret=interpret,
-    )(xf, kernel)
+    )(xf, xf, xf, kernel)
     return out.reshape(b, t, h, w, co)
 
 
