@@ -116,6 +116,43 @@ def test_lpips_zero_for_identical_and_symmetryish():
     assert float(d_xy.min()) > 0
 
 
+def test_lpips_split_passes_match_concat_and_keep_target_grad():
+    """The split-VGG-pass form (target backward prunable) must equal the
+    batched concat form value-for-value, and grad w.r.t. the TARGET must
+    still be available when a caller differentiates it (the split is a
+    backward-pruning enabler, not a stop_gradient)."""
+    from vqgan_tpu.losses.vgg import VGG16Features
+
+    lp = LPIPS()
+    x = jnp.asarray(_rand((2, 32, 32, 3), 23))
+    y = jnp.asarray(_rand((2, 32, 32, 3), 24))
+    params = lp.init(jax.random.PRNGKey(0), x, x)["params"]
+    shift = jnp.array([-0.030, -0.088, -0.188])
+    scale = jnp.array([0.458, 0.448, 0.450])
+
+    def concat_form(x_, y_):
+        b = x_.shape[0]
+        scaled = (jnp.concatenate([x_, y_], axis=0) - shift) / scale
+        taps = VGG16Features().apply({"params": params["vgg"]}, scaled)
+        total = None
+        for k, tap in enumerate(taps):
+            f = tap.astype(jnp.float32)
+            f = f / (jnp.sqrt(jnp.sum(f * f, -1, keepdims=True)) + 1e-10)
+            d = jnp.square(f[:b] - f[b:])
+            v = jnp.einsum("bhwc,c->bhw", d, params[f"lin_{k}"]).mean((1, 2))
+            total = v if total is None else total + v
+        return total[:, None]
+
+    got = lp.apply({"params": params}, x, y)
+    ref = concat_form(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
+
+    gy = jax.grad(lambda y_: lp.apply({"params": params}, x, y_).sum())(y)
+    gy_ref = jax.grad(lambda y_: concat_form(x, y_).sum())(y)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), rtol=5e-4,
+                               atol=1e-7)
+
+
 def test_discriminator_patch_count_matches_reference():
     """Every head must land on the same patch grid so the sum is aligned:
     16×16=256 patches at 256² input, 32×32=1024 at 512² (utils.py:195)."""

@@ -11,9 +11,16 @@ into a plain normalized-feature MSE), and the VGG backbone uses the fixed
 random init from losses/vgg.py — a serviceable *training* loss, clearly
 flagged for metric use.
 
-The whole computation is one jit region: both images' VGG passes batch
-together (stacked on the batch axis) so the MXU sees one set of big convs
-instead of two half-size ones.
+The two images run as SEPARATE VGG passes (shared params) rather than one
+concatenated 2B-batch pass: the batched form looked MXU-friendly, but it
+welds the constant target's backward to the recon's — the flagship trace
+showed the whole VGG dx chain running at batch 2B (28.2 ms/step, including
+an 11 ms/step 3-output-channel conv_0 input-grad at 14.7 TF/s). With split
+passes, autodiff never builds the target branch's backward at all (the
+target and the frozen VGG params are both constants), halving LPIPS
+backward time; the forward is unchanged — at B·H·W ≥ 1M rows the MXU is
+saturated either way. Per-sample conv math is identical, so values match
+the batched form bit-for-bit.
 """
 
 from __future__ import annotations
@@ -49,13 +56,14 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        b = x.shape[0]
-        scaled = ScalingLayer()(jnp.concatenate([x, y], axis=0))
-        taps = VGG16Features(dtype=self.dtype, name="vgg")(scaled)
+        scale = ScalingLayer()
+        vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        taps_x = vgg(scale(x))
+        taps_y = vgg(scale(y))
         total = None
-        for k, tap in enumerate(taps):
-            f = _unit_normalize(tap.astype(jnp.float32))
-            fx, fy = f[:b], f[b:]
+        for k, (tx, ty) in enumerate(zip(taps_x, taps_y)):
+            fx = _unit_normalize(tx.astype(jnp.float32))
+            fy = _unit_normalize(ty.astype(jnp.float32))
             diff = jnp.square(fx - fy)  # (B, h, w, C)
             lin = self.param(
                 f"lin_{k}",
