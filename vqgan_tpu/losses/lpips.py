@@ -19,8 +19,10 @@ an 11 ms/step 3-output-channel conv_0 input-grad at 14.7 TF/s). With split
 passes, autodiff never builds the target branch's backward at all (the
 target and the frozen VGG params are both constants), halving LPIPS
 backward time; the forward is unchanged — at B·H·W ≥ 1M rows the MXU is
-saturated either way. Per-sample conv math is identical, so values match
-the batched form bit-for-bit.
+saturated either way. Per-sample conv math is identical, so the split form
+is numerically identical to the batched one (pinned to rtol=2e-5 in tests;
+XLA may still lower the batch-B and batch-2B convs differently, so bit
+equality is not claimed).
 """
 
 from __future__ import annotations

@@ -84,7 +84,11 @@ def _lanes(c: int) -> int:
 def _pick_bh(h: int, w: int, ci: int, co: int, itemsize: int) -> int:
     """Largest 8-multiple divisor of ``h`` whose VMEM footprint (with lane
     padding, double-buffering, and the fp32 accumulator) fits the budget."""
-    budget = 10 * 1024 * 1024  # leave room for the resident weight tensor
+    # The whole (3,3,3,Ci,Co) weight tensor is resident in VMEM; subtract its
+    # actual (lane-padded) bytes from the 16 MB/core budget instead of assuming
+    # it stays small — at Ci=Co=512 it alone is ~13.5 MB bf16.
+    kernel_bytes = 27 * ci * _lanes(co) * itemsize
+    budget = 13 * 1024 * 1024 - kernel_bytes
 
     def est(bh: int) -> int:
         cur = 2 * bh * w * _lanes(ci) * itemsize
@@ -183,6 +187,7 @@ def _conv3d_pallas(
     co = kernel.shape[-1]
     if bh is None:  # tests force small bands to exercise the halo path
         bh = _pick_bh(h, w, ci, co, x.dtype.itemsize)
+    assert h % bh == 0, f"band height {bh} must divide frame height {h}"
     n_hb = h // bh
     halo_h = _HALO if bh % _HALO == 0 else bh
     hpb = bh // halo_h
