@@ -6,6 +6,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 DATASET_URL="${DATASET_URL:-}"
+# Trailing overrides (click: last occurrence of a flag wins) — used by the
+# CI smoke (tests/test_recipe_scripts.py) to shrink the run.
+EXTRA_FLAGS="${EXTRA_FLAGS:-}"
 LOAD_PATH="${LOAD_PATH:-}"
 LOAD_FLAG=""
 [ -n "${LOAD_PATH}" ] && LOAD_FLAG="--load_path ${LOAD_PATH}"
@@ -23,4 +26,5 @@ python -m vqgan_tpu.cli \
   --flip_invariance true --crop_invariance true \
   --max_steps 100000 --evaluate_every_n_steps 1000 \
   --run_name hdr_stage4 \
-  ${LOAD_FLAG}
+  ${LOAD_FLAG} \
+  ${EXTRA_FLAGS}

@@ -7,6 +7,9 @@ cd "$(dirname "$0")/.."
 
 DATASET_URL="${DATASET_URL:-}"
 CKPT_DIR="${CKPT_DIR:-./ckpt}"
+# Trailing overrides (click: last occurrence of a flag wins) — used by the
+# CI smoke (tests/test_recipe_scripts.py) to shrink the run.
+EXTRA_FLAGS="${EXTRA_FLAGS:-}"
 
 # Stage 1: recon-only
 python -m vqgan_tpu.cli \
@@ -15,7 +18,9 @@ python -m vqgan_tpu.cli \
   --batch_size 32 --learning_rate_vae 3e-3 \
   --max_steps 20000 --evaluate_every_n_steps 1000 \
   --do_clamp --clamp_th 8.0 \
-  --run_name stage1_recon
+  --ckpt_dir "${CKPT_DIR}" \
+  --run_name stage1_recon \
+  ${EXTRA_FLAGS}
 
 # Stage 2: + GAN, continuing from stage 1 weights
 LATEST=$(ls -t "${CKPT_DIR}"/stage1_recon/vae_*.pt | head -1)
@@ -27,4 +32,6 @@ python -m vqgan_tpu.cli \
   --do_clamp --clamp_th 8.0 \
   --max_steps 100000 --evaluate_every_n_steps 1000 \
   --load_path "${LATEST}" \
-  --run_name stage2_gan
+  --ckpt_dir "${CKPT_DIR}" \
+  --run_name stage2_gan \
+  ${EXTRA_FLAGS}

@@ -7,11 +7,16 @@ cd "$(dirname "$0")/.."
 
 DATASET_URL="${DATASET_URL:-}"
 EXTRA_FLAGS="${EXTRA_FLAGS:-}"
+# Grid axes overridable for CI smoke (tests/test_recipe_scripts.py runs one
+# cell with LOG2LRS=-5 CHS=32 ATTNS=False).
+LOG2LRS="${LOG2LRS:--8 -7 -6 -5 -4 -3 -2}"
+CHS="${CHS:-32 64 128}"
+ATTNS="${ATTNS:-False True}"
 
-for log2lr in -8 -7 -6 -5 -4 -3 -2; do
+for log2lr in ${LOG2LRS}; do
   lr=$(python -c "print(2**($log2lr))")
-  for ch in 32 64 128; do
-    for attn in False True; do
+  for ch in ${CHS}; do
+    for attn in ${ATTNS}; do
       run_name="sweep_lr2e${log2lr}_ch${ch}_attn${attn}"
       echo "=== ${run_name}"
       python -m vqgan_tpu.cli \
