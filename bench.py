@@ -122,9 +122,13 @@ def try_bench(batch_size: int):
 
 def main():
     n_chips = max(1, jax.device_count())
-    # batch 64 needs ~42GB of activations unrematerialized — start at 16
-    # (~0.65 GB/img measured) on a 16GB v5e chip
-    for batch_size in (16, 8, 4, 2, 1):
+    # Batch 8 first: the round-5 sweep (tools/bench_batch_sweep.py,
+    # BASELINE.md) measured 15.93 img/s/chip at batch 8 vs 15.28 at batch 16
+    # — at batch 16 XLA's automatic HBM-pressure rematerialization re-executes
+    # ~7.5% of the step's FLOPs (cost analysis: 10.34 vs 9.78 TFLOP/img).
+    # Batch 64 needs ~42GB of activations unrematerialized (~0.65 GB/img)
+    # on a 16GB v5e chip; 24 does not compile.
+    for batch_size in (8, 16, 4, 2, 1):
         try:
             ips, flops_per_step, step_s = try_bench(batch_size)
         except Exception as e:
