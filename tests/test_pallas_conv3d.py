@@ -71,6 +71,35 @@ def test_forward_multiband_halo():
         )
 
 
+def test_forward_fat_k_branch():
+    """Lane-aligned ci defaults to the per-dh im2col path (k_group=3, three
+    (bh·W, 3·Ci) dots per tap); non-aligned ci falls back to the nine-dot
+    path — the 3-channel conv_in hits it because Mosaic rejects the
+    (9·Ci, Co) weight shape cast there. Both must match the direct conv."""
+    for ci, co in ((64, 8), (64, 64), (3, 8)):
+        x, k = _data(b=1, t=3, h=8, w=8, ci=ci, co=co, seed=ci)
+        np.testing.assert_allclose(
+            np.asarray(conv3d_ttap(x, k, True)),
+            np.asarray(_direct(x, k)),
+            atol=2e-5,
+        )
+
+
+def test_forward_all_k_group_geometries():
+    """Every explicit MXU geometry (k_group 1/3/9) matches the direct conv
+    on the same lane-aligned data, including with multi-band halos."""
+    from vqgan_tpu.ops.pallas.conv3d import _conv3d_pallas
+
+    x, k = _data(b=1, t=3, h=16, w=8, ci=64, co=32, seed=5)
+    ref = np.asarray(_direct(x, k))
+    for k_group in (1, 3, 9):
+        np.testing.assert_allclose(
+            np.asarray(_conv3d_pallas(x, k, True, bh=8, k_group=k_group)),
+            ref,
+            atol=2e-5,
+        )
+
+
 def test_gradients_match_direct():
     x, k = _data(b=1, t=4, h=8, w=8, ci=8, co=8)
     dy = jax.random.normal(jax.random.PRNGKey(7), x.shape[:-1] + (8,))
@@ -99,6 +128,26 @@ def test_module_matches_fat_impl():
     ref = m_fat.apply(params, x)
     got = m_pal.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_mixed_impl_resolution_and_parity():
+    """conv3d_impl='mixed' resolves per channel count (pallas >=128ch,
+    tap2dfat below; stride-2 always fat) and its module output matches
+    tap2dfat with the SAME parameter tensors at both branch widths."""
+    from vqgan_tpu.models.tae import Conv3DTap2DFat, conv3d
+
+    for ci in (8, 128):
+        x, _ = _data(b=1, t=3, h=8, w=8, ci=ci, co=ci)
+        m_mix = conv3d(ci, 3, jnp.float32, fan_in=ci * 27, impl="mixed")
+        m_fat = Conv3DTap2DFat(features=ci, dtype=jnp.float32, fan_in=ci * 27)
+        expected = "Conv3DTapPallas" if ci >= 128 else "Conv3DTap2DFat"
+        assert type(m_mix).__name__ == expected, (ci, type(m_mix).__name__)
+        params = m_fat.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m_mix.apply(params, x)),
+            np.asarray(m_fat.apply(params, x)),
+            atol=2e-5,
+        )
 
 
 @pytest.mark.parametrize("remat", [False, True])

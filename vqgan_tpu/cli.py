@@ -221,9 +221,13 @@ def train(**kw):
               help="Remat residual policy: full (recompute everything) | "
                    "conv (save conv outputs, recompute elementwise only)")
 @click.option("--conv3d_impl", type=str, default="auto",
-              help="3x3x3 conv compute: auto (tap2d on TPU) | direct "
+              help="3x3x3 conv compute: auto (tap2dfat on TPU) | direct "
                    "(XLA Conv3d) | tap2d (temporal-tap batched 2D convs, "
-                   "same params/math — measured 2x at 48f/256px)")
+                   "same params/math — measured best at 48f/256px) | "
+                   "tap2dfat (one 3*Co-wide 2D conv) | pallas (fused-tap "
+                   "kernel) | mixed (pallas at >=128-channel convs, "
+                   "tap2dfat below — per-level isolated best; loses ~3% "
+                   "end-to-end to tap2dfat, BASELINE r5)")
 @click.option("--attn_chunk", type=int, default=0,
               help="Exact chunked mid-block attention over this many k/v "
                    "tokens (0 = dense) — single-chip long clips whose "

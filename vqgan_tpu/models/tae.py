@@ -322,6 +322,25 @@ def conv3d(
         # pass --conv3d_impl tap2d there. "direct" elsewhere (CPU tests,
         # jax.export artifacts).
         impl = "tap2dfat" if jax.default_backend() == "tpu" else "direct"
+    if impl == "mixed":
+        # Per-channel-count split, settled by tools/bench_conv3d_levels.py
+        # on the real chip (BASELINE.md round 5): the Pallas fused-tap
+        # kernel's dots run N=Co lanes, so at Co=64 the MXU is half-filled
+        # and tap2dfat's N=3·Co fat conv wins (42.3 vs 37.8 TF/s fwd+bwd);
+        # at Co>=128 both fill the lanes and the kernel's ~1.5x-lower HBM
+        # traffic wins in isolation (128ch: 71.8 vs 62.2; 256ch: 45.2 vs
+        # 42.5). End-to-end, though, mixed measures 239.7 f/s vs tap2dfat's
+        # 246.3 at 16f/128px: the isolated wins are eaten by the fusion
+        # boundary — XLA fuses the norm/silu chains into its own convs but
+        # cannot fuse across a pallas_call, so each kernel conv adds an
+        # activation round-trip on an HBM-bound step. Kept as an opt-in;
+        # "auto" stays tap2dfat (the measured end-to-end best).
+        ci = fan_in // 27
+        impl = (
+            "pallas"
+            if kernel == 3 and strides == 1 and min(ci, features) >= 128
+            else "tap2dfat"
+        )
     if kernel == 3 and strides == 1 and padding == "SAME":
         cls = {
             "tap2d": Conv3DTap2D,

@@ -39,13 +39,28 @@ The fp32 cross-tap accumulator is *tighter* numerics than tap2dfat's bf16
 tap sum (and than the reference's autocast Conv3d); parity is pinned in
 tests/test_pallas_conv3d.py.
 
-MEASURED OUTCOME (BASELINE.md round 4, real v5e): 181.6 f/s at the
-16f/128px bench vs 246.3 f/s for tap2dfat — the traffic win is real but
-the kernel's K=Ci/N=Co matmul geometry fills ≤25% of the MXU at the
-Ci=Co=64 bulk, while XLA's fat conv runs K=9·Ci, N=3·Co at ~41% of peak.
-The geometry fix (im2col to K=9·Ci in VMEM) hits a Mosaic lowering limit
-(lane-concat of shifted windows). conv3d_impl="pallas" therefore stays an
-explicit opt-in; "auto" resolves to the measured-best tap2dfat.
+MEASURED OUTCOME (BASELINE.md rounds 4-5, real v5e; the full story):
+  r4: nine K=Ci dots — 181.6 f/s at the 16f/128px bench vs 246.3 for
+      tap2dfat (≤25% MXU fill at Ci=Co=64). The im2col fix was thought
+      blocked on Mosaic ("result/input offset mismatch on non-concat
+      dimension").
+  r5: the probe (tools/probe_mosaic_geometry.py) showed Mosaic DOES lower
+      the lane-dim concat of shifted windows at lane-aligned Ci, so the
+      fat-K forms were built (k_group=3 per-dh / 9 full im2col) and
+      measured. Per-level microbench (tools/bench_conv3d_levels.py,
+      fwd+bwd): at 64ch tap2dfat wins (42.3 vs 37.8 TF/s — N=Co=64 fills
+      half the MXU lanes regardless of K); at 128ch the kernel wins
+      (71.8 vs 62.2, +15%) and at 256ch (45.2 vs 42.5, +6%). End-to-end,
+      pallas-everywhere = 199.8 f/s, mixed (pallas at >=128ch only) =
+      239.7, tap2dfat = 246.3: the isolated >=128ch wins are eaten at the
+      fusion boundary — XLA fuses norm/silu chains into its own convs but
+      cannot fuse across a pallas_call, adding an activation round-trip
+      per kernel conv on an HBM-bound step. Winning from here would need
+      the surrounding GroupNorm+swish absorbed into this kernel, which
+      conflicts with banded blocking (GN needs full-frame statistics
+      before the first normalized element can feed the conv).
+conv3d_impl="pallas"/"mixed" stay parity-tested opt-ins; "auto" resolves
+to the measured end-to-end best, tap2dfat.
 
 Backward (custom VJP):
   dx — mathematically another 3×3×3 stride-1 SAME conv of dy with the
@@ -81,7 +96,9 @@ def _lanes(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _pick_bh(h: int, w: int, ci: int, co: int, itemsize: int) -> int:
+def _pick_bh(
+    h: int, w: int, ci: int, co: int, itemsize: int, k_group: int = 3
+) -> int:
     """Largest 8-multiple divisor of ``h`` whose VMEM footprint (with lane
     padding, double-buffering, and the fp32 accumulator) fits the budget."""
     # The whole (3,3,3,Ci,Co) weight tensor is resident in VMEM; subtract its
@@ -96,7 +113,13 @@ def _pick_bh(h: int, w: int, ci: int, co: int, itemsize: int) -> int:
         out = 2 * bh * w * _lanes(co) * itemsize
         acc = bh * w * _lanes(co) * 4
         strip = (bh + 2) * (w + 2) * _lanes(ci) * itemsize
-        return cur + halo + out + acc + strip
+        # the im2col operand of the fat-K dots: (bh·w, k_group·Ci)
+        # materialized in VMEM (lane padding applies to the concatenated
+        # axis as a whole). k_group=9 → one dot per tap but a buffer so
+        # large it forces bh=16 at the 128px level (halo amplification
+        # 100%); k_group=3 (per-dh) keeps bh=32 (50%).
+        xcat = bh * w * _lanes(k_group * ci) * itemsize
+        return cur + halo + out + acc + strip + xcat
 
     cands = [d for d in range(h, 0, -1) if h % d == 0 and d % _HALO == 0]
     if not cands:  # h not a multiple of 8 (tiny test shapes): whole frame
@@ -135,7 +158,7 @@ def _next_index(i, hb, kt, *, t_len, hpb, n_halo):
 
 
 def _kernel(prev_ref, cur_ref, next_ref, k_ref, o_ref, acc_ref,
-            *, t_len: int, n_hb: int, halo_h: int):
+            *, t_len: int, n_hb: int, halo_h: int, k_group: int):
     i = pl.program_id(0)
     hb = pl.program_id(1)
     kt = pl.program_id(2)
@@ -158,21 +181,58 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, o_ref, acc_ref,
         bot = next_ref[0, 0] * (hb < n_hb - 1).astype(dt)
         strip = jnp.concatenate([top[None], cur, bot[None]], axis=0)
         xp = jnp.pad(strip, ((0, 0), (1, 1), (0, 0)))
-        # Nine shifted (bh·W, Ci) @ (Ci, Co) accumulating dots per tap.
-        # NOTE on MXU geometry (measured, BASELINE.md r4): at Ci=Co=64 these
-        # K=64/N=64 dots fill ≤25% of the MXU, which is why this kernel
-        # loses to the tap2dfat XLA lowering end-to-end (181.6 vs 246.3 f/s
-        # at 16f/128px) despite moving ~30% less HBM traffic. The fix — one
-        # im2col (bh·W, 9·Ci) matmul per tap — does not currently lower:
-        # Mosaic rejects the lane-dim concat of spatially shifted windows
-        # ("result/input offset mismatch on non-concat dimension").
-        for dh in range(3):
-            for dw in range(3):
-                win = xp[dh : dh + bh, dw : dw + w, :].reshape(bh * w, -1)
-                acc_ref[...] += jnp.dot(
-                    win, k_ref[kt, dh, dw],
-                    preferred_element_type=jnp.float32,
+        # MXU-geometry variants, selected by k_group (see _conv3d_pallas):
+        # the round-4 form ran nine separate (bh·W, Ci) @ (Ci, Co) dots,
+        # whose K=Ci/N=Co geometry fills ≤25% of the MXU at the Ci=Co=64
+        # bulk — measured losing end-to-end (181.6 vs 246.3 f/s at
+        # 16f/128px) despite moving ~30% less HBM traffic. The lane-dim
+        # concat of shifted windows was then thought unlowerable
+        # ("result/input offset mismatch on non-concat dimension"); the
+        # round-5 probe (tools/probe_mosaic_geometry.py, variant H) showed
+        # Mosaic DOES lower exactly this pattern at lane-aligned Ci.
+        #   k_group=9: one im2col (bh·W, 9·Ci) @ (9·Ci, Co) dot per tap —
+        #              full MXU K rows, but the concat buffer forces bh down
+        #              (16 at the 128px level → 100% halo amplification).
+        #   k_group=3: per-dh concat, three (bh·W, 3·Ci) @ (3·Ci, Co) dots —
+        #              3× the K fill of nine-dot while keeping bh=32 (50%).
+        #   k_group=1: nine K=Ci dots — the only form Mosaic lowers at
+        #              non-lane-aligned Ci (it rejects both the
+        #              (3,3,Ci,Co)→(9·Ci,Co) weight shape cast and sub-lane
+        #              concats there); negligible FLOPs at the Ci=3 conv_in.
+        if k_group == 9:
+            xcat = jnp.concatenate(
+                [
+                    xp[dh : dh + bh, dw : dw + w, :].reshape(bh * w, -1)
+                    for dh in range(3)
+                    for dw in range(3)
+                ],
+                axis=1,
+            )
+            kmat = k_ref[kt].reshape(-1, k_ref.shape[-1])  # (9·Ci, Co)
+            acc_ref[...] += jnp.dot(
+                xcat, kmat, preferred_element_type=jnp.float32
+            )
+        elif k_group == 3:
+            for dh in range(3):
+                xcat = jnp.concatenate(
+                    [
+                        xp[dh : dh + bh, dw : dw + w, :].reshape(bh * w, -1)
+                        for dw in range(3)
+                    ],
+                    axis=1,
                 )
+                kmat = k_ref[kt, dh].reshape(-1, k_ref.shape[-1])
+                acc_ref[...] += jnp.dot(
+                    xcat, kmat, preferred_element_type=jnp.float32
+                )
+        else:
+            for dh in range(3):
+                for dw in range(3):
+                    win = xp[dh : dh + bh, dw : dw + w, :].reshape(bh * w, -1)
+                    acc_ref[...] += jnp.dot(
+                        win, k_ref[kt, dh, dw],
+                        preferred_element_type=jnp.float32,
+                    )
 
     @pl.when(kt == 2)
     def _emit():
@@ -181,12 +241,20 @@ def _kernel(prev_ref, cur_ref, next_ref, k_ref, o_ref, acc_ref,
 
 
 def _conv3d_pallas(
-    x: jax.Array, kernel: jax.Array, interpret: bool, bh: int | None = None
+    x: jax.Array,
+    kernel: jax.Array,
+    interpret: bool,
+    bh: int | None = None,
+    k_group: int | None = None,
 ):
     b, t, h, w, ci = x.shape
     co = kernel.shape[-1]
+    if k_group is None:
+        # per-dh fat-K (K=3·Ci) for the lane-aligned channel bulk; the
+        # nine-dot form only where Mosaic forces it (non-aligned Ci).
+        k_group = 3 if ci % 64 == 0 else 1
     if bh is None:  # tests force small bands to exercise the halo path
-        bh = _pick_bh(h, w, ci, co, x.dtype.itemsize)
+        bh = _pick_bh(h, w, ci, co, x.dtype.itemsize, k_group)
     assert h % bh == 0, f"band height {bh} must divide frame height {h}"
     n_hb = h // bh
     halo_h = _HALO if bh % _HALO == 0 else bh
@@ -197,7 +265,9 @@ def _conv3d_pallas(
         (1, halo_h, w, ci), idx, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, t_len=t, n_hb=n_hb, halo_h=halo_h),
+        functools.partial(
+            _kernel, t_len=t, n_hb=n_hb, halo_h=halo_h, k_group=k_group
+        ),
         grid=(b * t, n_hb, 3),
         in_specs=[
             halo_spec(functools.partial(_prev_index, t_len=t, hpb=hpb)),
@@ -222,30 +292,34 @@ def _conv3d_pallas(
     return out.reshape(b, t, h, w, co)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3d_ttap(
-    x: jax.Array, kernel: jax.Array, interpret: bool = False
+    x: jax.Array,
+    kernel: jax.Array,
+    interpret: bool = False,
+    k_group: int | None = None,
 ) -> jax.Array:
     """Fused-tap 3×3×3 stride-1 SAME Conv3d over NDHWC.
 
     ``x``: (B, T, H, W, Ci); ``kernel``: (3, 3, 3, Ci, Co) in the compute
     dtype. Zero padding on T/H/W (reference Conv3d semantics). Differentiable;
-    see module docstring for the VJP structure.
+    see module docstring for the VJP structure. ``k_group`` overrides the
+    MXU dot geometry (1/3/9; None = auto) — a bench/test knob.
     """
-    return _conv3d_pallas(x, kernel, interpret)
+    return _conv3d_pallas(x, kernel, interpret, k_group=k_group)
 
 
-def _conv3d_fwd(x, kernel, interpret):
-    return _conv3d_pallas(x, kernel, interpret), (x, kernel)
+def _conv3d_fwd(x, kernel, interpret, k_group):
+    return _conv3d_pallas(x, kernel, interpret, k_group=k_group), (x, kernel)
 
 
-def _conv3d_bwd(interpret, res, dy):
+def _conv3d_bwd(interpret, k_group, res, dy):
     x, kernel = res
     # dx: conv of dy with the flipped, Ci/Co-transposed kernel — the same
     # fused-tap Pallas kernel (identity verified in tests against autodiff
     # of the direct XLA conv)
     kf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    dx = _conv3d_pallas(dy, kf, interpret)
+    dx = _conv3d_pallas(dy, kf, interpret, k_group=k_group)
 
     # dk: transpose of the (linear-in-kernel) direct conv — XLA's native
     # conv weight-grad, one op, no fat intermediates
