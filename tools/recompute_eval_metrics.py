@@ -19,7 +19,11 @@ from __future__ import annotations
 import dataclasses
 import glob
 import json
+import os
 import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import click
 import jax.numpy as jnp
@@ -44,6 +48,13 @@ from vqgan_tpu.train.evaluate import make_eval_step
 @click.option("--vae_z_channels", default=16)
 @click.option("--vae_resolution", default=256)
 @click.option("--seed", default=42)
+@click.option("--judge_lpips", default=None,
+              help="Also score eval/lpips_judge under a FIXED judge net: "
+                   "'default' = the deterministic seed-42 random-VGG every "
+                   "run without --lpips_weights trains against, or a path "
+                   "to converted weights (.npz/.pth). Lets checkpoints of "
+                   "runs trained with DIFFERENT perceptual nets be compared "
+                   "on one scale (the r5 proxy-variance study).")
 def main(
     ckpt_glob,
     test_dataset_url,
@@ -55,6 +66,7 @@ def main(
     vae_z_channels,
     vae_resolution,
     seed,
+    judge_lpips,
 ):
     cfg = TrainConfig(
         run_name="recompute",
@@ -91,6 +103,25 @@ def main(
     )
     batches = [jnp.asarray(next(loader)) for _ in range(eval_batches)]
 
+    judge = None
+    if judge_lpips:
+        import jax
+
+        from vqgan_tpu.losses.lpips import LPIPS, load_lpips_params
+
+        # "default" reproduces the net a --lpips_weights-less run trains
+        # against: k_lpips is the 3rd split of the root seed (trainer.py:89)
+        _, _, k_lpips, _ = jax.random.split(jax.random.PRNGKey(seed), 4)
+        path = None if judge_lpips == "default" else judge_lpips
+        judge_params = load_lpips_params(path, k_lpips, image_size=vae_resolution)
+        judge_model = LPIPS()  # fp32 judge for metric stability
+
+        @jax.jit
+        def judge_fn(a, b):
+            return judge_model.apply({"params": judge_params}, a, b).mean()
+
+        judge = judge_fn
+
     paths = sorted(
         glob.glob(ckpt_glob),
         key=lambda p: int(re.search(r"step_(\d+)", p).group(1)),
@@ -107,16 +138,16 @@ def main(
             targets.append(np.asarray(t))
         recon = jnp.asarray(np.concatenate(recons))
         target = jnp.asarray(np.concatenate(targets))
-        print(
-            json.dumps(
-                {
-                    "step": step,
-                    "eval/psnr": float(psnr(recon, target)),
-                    "eval/ssim": float(ssim(recon, target)),
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "step": step,
+            "eval/psnr": float(psnr(recon, target)),
+            "eval/ssim": float(ssim(recon, target)),
+        }
+        if judge is not None:
+            rec["eval/lpips_judge"] = float(
+                judge(recon * 2.0 - 1.0, target * 2.0 - 1.0)
+            )
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
