@@ -49,12 +49,15 @@ from vqgan_tpu.train.evaluate import make_eval_step
 @click.option("--vae_resolution", default=256)
 @click.option("--seed", default=42)
 @click.option("--judge_lpips", default=None,
-              help="Also score eval/lpips_judge under a FIXED judge net: "
+              help="Also score eval/lpips_judge under FIXED judge net(s): "
                    "'default' = the deterministic seed-42 random-VGG every "
                    "run without --lpips_weights trains against, or a path "
-                   "to converted weights (.npz/.pth). Lets checkpoints of "
-                   "runs trained with DIFFERENT perceptual nets be compared "
-                   "on one scale (the r5 proxy-variance study).")
+                   "to converted weights (.npz/.pth). Comma-separate several "
+                   "(e.g. 'default,/tmp/alt.npz') to score all judges in one "
+                   "pass — checkpoint loads dominate, so N judges cost ~the "
+                   "same as one. Lets checkpoints of runs trained with "
+                   "DIFFERENT perceptual nets be compared on one scale "
+                   "(the r5 proxy-variance study).")
 def main(
     ckpt_glob,
     test_dataset_url,
@@ -103,7 +106,7 @@ def main(
     )
     batches = [jnp.asarray(next(loader)) for _ in range(eval_batches)]
 
-    judge = None
+    judges = {}
     if judge_lpips:
         import jax
 
@@ -112,15 +115,21 @@ def main(
         # "default" reproduces the net a --lpips_weights-less run trains
         # against: k_lpips is the 3rd split of the root seed (trainer.py:89)
         _, _, k_lpips, _ = jax.random.split(jax.random.PRNGKey(seed), 4)
-        path = None if judge_lpips == "default" else judge_lpips
-        judge_params = load_lpips_params(path, k_lpips, image_size=vae_resolution)
         judge_model = LPIPS()  # fp32 judge for metric stability
+        for spec in judge_lpips.split(","):
+            spec = spec.strip()
+            path = None if spec == "default" else spec
+            judge_params = load_lpips_params(path, k_lpips, image_size=vae_resolution)
+            name = (
+                "default"
+                if path is None
+                else os.path.splitext(os.path.basename(path))[0]
+            )
 
-        @jax.jit
-        def judge_fn(a, b):
-            return judge_model.apply({"params": judge_params}, a, b).mean()
+            def judge_fn(a, b, _p=judge_params):
+                return judge_model.apply({"params": _p}, a, b).mean()
 
-        judge = judge_fn
+            judges[name] = jax.jit(judge_fn)
 
     paths = sorted(
         glob.glob(ckpt_glob),
@@ -143,10 +152,13 @@ def main(
             "eval/psnr": float(psnr(recon, target)),
             "eval/ssim": float(ssim(recon, target)),
         }
-        if judge is not None:
-            rec["eval/lpips_judge"] = float(
-                judge(recon * 2.0 - 1.0, target * 2.0 - 1.0)
+        for name, judge in judges.items():
+            key = (
+                "eval/lpips_judge"
+                if len(judges) == 1 and name == "default"
+                else f"eval/lpips_judge_{name}"
             )
+            rec[key] = float(judge(recon * 2.0 - 1.0, target * 2.0 - 1.0))
         print(json.dumps(rec), flush=True)
 
 
